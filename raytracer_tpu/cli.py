@@ -1,0 +1,123 @@
+"""CLI entry points. Reference analog: `main()` (SURVEY §1 L5).
+
+  python -m raytracer_tpu.cli render   --config config2 --out out.png [--width W]
+  python -m raytracer_tpu.cli optimize --steps 200 --out recovered.png
+  python -m raytracer_tpu.cli bench    --config config4 [--repeats 3]
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def cmd_render(args):
+    import numpy as np
+
+    from raytracer_tpu.io.image import save_png, save_ppm
+    from raytracer_tpu.models import presets
+    from raytracer_tpu.renderer import render
+
+    scene, cam, opts = presets.PRESETS[args.config]()
+    if args.width:
+        opts = dataclasses.replace(opts, width=args.width,
+                                   height=args.height or args.width)
+    if args.max_depth is not None:
+        opts = dataclasses.replace(opts, max_depth=args.max_depth)
+    t0 = time.perf_counter()
+    img, traced = render(scene, cam, opts, count_rays=True)
+    img = np.asarray(img)
+    dt = time.perf_counter() - t0
+    rays = float(traced)
+    print(f"{args.config}: {opts.width}x{opts.height} depth={opts.max_depth} "
+          f"in {dt:.2f}s (with compile) — {rays:.3g} rays, "
+          f"{rays / dt:.3g} rays/s")
+    if args.out.endswith(".ppm"):
+        save_ppm(args.out, img)
+    else:
+        save_png(args.out, img)
+    print("wrote", args.out)
+
+
+def cmd_optimize(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from raytracer_tpu.io.image import save_png
+    from raytracer_tpu.models import presets
+    from raytracer_tpu.renderer import render
+
+    init, target, cam, opts = presets.config5_inverse()
+    timg = render(target, cam, opts)[0]
+    params = {"center": init.spheres.center, "albedo": init.materials.albedo}
+
+    def loss(p):
+        sc = init.replace(
+            spheres=dataclasses.replace(init.spheres, center=p["center"]),
+            materials=dataclasses.replace(
+                init.materials, albedo=jnp.clip(p["albedo"], 0.0, 1.0)))
+        return jnp.mean((render(sc, cam, opts)[0] - timg) ** 2)
+
+    opt = optax.adam(args.lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        val, g = jax.value_and_grad(loss)(p)
+        upd, s = opt.update(g, s)
+        return optax.apply_updates(p, upd), s, val
+
+    for i in range(args.steps):
+        params, state, val = step(params, state)
+        if i % 20 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {float(val):.3e}")
+    sc = init.replace(
+        spheres=dataclasses.replace(init.spheres, center=params["center"]),
+        materials=dataclasses.replace(
+            init.materials, albedo=jnp.clip(params["albedo"], 0.0, 1.0)))
+    save_png(args.out, np.asarray(render(sc, cam, opts)[0]))
+    print("recovered centers:\n", np.asarray(params["center"]))
+    print("recovered albedos:\n",
+          np.clip(np.asarray(params["albedo"]), 0, 1))
+    print("wrote", args.out)
+
+
+def cmd_bench(args):
+    from benchmarks.rays_per_sec import run_bench
+
+    run_bench(config=args.config, repeats=args.repeats, fwd_bwd=not args.fwd_only)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render")
+    pr.add_argument("--config", default="config2",
+                    choices=["config1", "config2", "config3", "config4"])
+    pr.add_argument("--out", default="out.png")
+    pr.add_argument("--width", type=int, default=0)
+    pr.add_argument("--height", type=int, default=0)
+    pr.add_argument("--max-depth", type=int, default=None)
+    pr.set_defaults(fn=cmd_render)
+
+    po = sub.add_parser("optimize")
+    po.add_argument("--steps", type=int, default=200)
+    po.add_argument("--lr", type=float, default=1e-2)
+    po.add_argument("--out", default="recovered.png")
+    po.set_defaults(fn=cmd_optimize)
+
+    pb = sub.add_parser("bench")
+    pb.add_argument("--config", default="config4")
+    pb.add_argument("--repeats", type=int, default=3)
+    pb.add_argument("--fwd-only", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

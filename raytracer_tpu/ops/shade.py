@@ -1,0 +1,52 @@
+"""Local Phong shading with shadow rays (docs/SPEC.md DIFFUSE_AND_GLOSSY branch).
+
+Reference analog: the `castRay` diffuse/glossy switch arm — per-light shadow trace,
+Lambert accumulation, Phong specular (SURVEY.md §3.1 L3). Genre-exact quirks kept:
+specular is not shadow-masked and not multiplied by albedo; shadow rays test all
+objects including transparent ones.
+"""
+
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import Scene
+from raytracer_tpu.ops import trace as trace_ops
+from raytracer_tpu.ops.geometry import reflect, spawn_origin
+from raytracer_tpu.ops.safemath import dot, safe_pow, safe_sqrt
+
+
+def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
+                  tri_chunk: int, count_rays: bool = False, tracer=None):
+    """Phong local radiance [N,3] for rays hitting diffuse/glossy surfaces.
+
+    Computed for *all* rays (branchless); the caller masks by material type.
+    `tracer` overrides the occlusion backend (sharded/ring paths in parallel/).
+    Returns (rgb, shadow_ray_count) — the count is for rays/s accounting only.
+    """
+    p, n = surf.p, surf.n
+    # Shadow origin: + bias·N when the viewing ray hits the front face (SPEC).
+    sorig = p + jnp.where(dot(in_dir, n) < 0, 1.0, -1.0)[:, None] * bias * n
+
+    light_amt = jnp.zeros_like(p)
+    spec = jnp.zeros_like(p)
+    n_shadow = jnp.zeros((), jnp.int32)
+    for li in range(scene.lights.count):  # L is tiny and static — unrolled
+        lpos = scene.lights.pos[li]
+        lint = scene.lights.intensity[li]
+        lvec = lpos[None, :] - p
+        d2 = dot(lvec, lvec)
+        dist = safe_sqrt(d2, valid=d2 > 0)
+        ldir = lvec / jnp.maximum(dist, 1e-12)[:, None]
+        ldn = jnp.maximum(0.0, dot(ldir, n))
+        if tracer is None:
+            shadowed = trace_ops.occluded(scene, sorig, ldir, dist, t_min,
+                                          tri_chunk)
+        else:
+            shadowed = tracer.occluded(sorig, ldir, dist, t_min, tri_chunk)
+        vis = jnp.where(shadowed, 0.0, 1.0)
+        light_amt = light_amt + (vis * ldn)[:, None] * lint[None, :]
+        r = reflect(-ldir, n)
+        spec = spec + safe_pow(-dot(r, in_dir), surf.spec_n)[:, None] * lint[None, :]
+        if count_rays:
+            n_shadow = n_shadow + p.shape[0]
+    rgb = light_amt * surf.albedo * surf.kd[:, None] + spec * surf.ks[:, None]
+    return rgb, n_shadow

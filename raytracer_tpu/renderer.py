@@ -1,0 +1,151 @@
+"""Wavefront Whitted renderer — the TPU-native replacement for `castRay` recursion.
+
+Reference analog: `render()` + recursive `castRay` (SURVEY.md §3.1 L4/L3). The
+recursion becomes a statically unrolled loop over bounce depth carrying per-ray
+state (origin, dir, throughput, alive); radiance accumulates as
+Σ_depth throughput · leaf_value (docs/SPEC.md "Wavefront equivalence").
+
+Glass scenes statically double the ray buffer per bounce ([reflect | refract]
+children concatenated); pixel of buffer slot i is `i mod n_pixels`, so folding a
+[k·n0, 3] buffer back to pixels is a reshape + sum — no index tracking.
+
+The image loop runs in fixed-size ray tiles via `lax.scan` (sequential tiles →
+bounded memory; the multi-chip path shards tiles across devices instead,
+see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import (
+    DIFFUSE_AND_GLOSSY, REFLECTION, REFLECTION_AND_REFRACTION, Camera,
+    RenderOptions, Scene)
+from raytracer_tpu.ops import geometry as geom
+from raytracer_tpu.ops.shade import shade_diffuse
+from raytracer_tpu.ops.safemath import clamp01, normalize
+from raytracer_tpu.ops.trace import nearest_hit, surface_at
+
+
+def _fold(x, n0):
+    """[k·n0, C] buffer → per-pixel [n0, C] by summing the k child slots."""
+    return x.reshape(-1, n0, x.shape[-1]).sum(axis=0)
+
+
+def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
+                count_rays: bool = False, tracer=None):
+    """Trace a wavefront of primary rays to radiance [N,3] (unclamped).
+
+    `tracer` overrides the winner-search backend (parallel/tracer.py: sharded,
+    ring-streaming, or Pallas); the differentiable surface/shade stages always
+    use the full `scene`. Returns (radiance, rays_traced) where rays_traced
+    counts every live trace lane (primary + secondary + shadow) — the rays/s
+    numerator.
+    """
+    n0 = orig.shape[0]
+    bg = jnp.asarray(opts.background, jnp.float32)
+    radiance = jnp.zeros((n0, 3), jnp.float32)
+    thr = jnp.ones((n0, 3), jnp.float32)
+    alive = jnp.ones((n0,), bool)
+    o, d = orig, direc
+    traced = jnp.zeros((), jnp.float32)
+
+    for depth in range(opts.max_depth + 1):
+        if tracer is None:
+            hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk)
+        else:
+            hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk)
+        surf = surface_at(scene, o, d, hit, opts.t_min)
+        valid = surf.valid & alive
+        if count_rays:
+            traced = traced + jnp.sum(alive.astype(jnp.float32))
+
+        # Leaves: miss → background
+        miss = alive & ~surf.valid
+        radiance = radiance + _fold(jnp.where(miss[:, None], thr * bg, 0.0), n0)
+
+        # Leaves: diffuse hit → local Phong (branchless; masked after)
+        is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
+        local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
+                                 opts.tri_chunk, tracer=tracer)
+        radiance = radiance + _fold(
+            jnp.where(is_diff[:, None], thr * local, 0.0), n0)
+        if count_rays:
+            traced = traced + jnp.sum(is_diff.astype(jnp.float32)) \
+                * scene.lights.count
+
+        # Specular branches
+        is_mirror = valid & (surf.mtype == REFLECTION)
+        is_glass = valid & (surf.mtype == REFLECTION_AND_REFRACTION)
+        spec = is_mirror | is_glass
+        kr = geom.fresnel(d, surf.n, surf.ior)
+
+        if depth == opts.max_depth:
+            # Children would exceed max_depth → each returns background
+            # immediately: mirror contributes kr·bg, glass kr·bg + (1−kr)·bg
+            # (kr==1 exactly on TIR, so glass always totals 1·bg).
+            w = jnp.where(is_mirror, kr, jnp.where(is_glass, 1.0, 0.0))
+            radiance = radiance + _fold(thr * w[:, None] * bg, n0)
+        else:
+            rdir = normalize(geom.reflect(d, surf.n))
+            rorig = geom.spawn_origin(surf.p, surf.n, rdir, opts.bias)
+            thr_r = jnp.where(spec[:, None], thr * kr[:, None], 0.0)
+            if scene.has_glass:
+                tdir, t_ok = geom.refract(d, surf.n, surf.ior)
+                tdir = normalize(tdir, valid=t_ok)
+                torig = geom.spawn_origin(surf.p, surf.n, tdir, opts.bias)
+                alive_t = is_glass & t_ok
+                thr_t = jnp.where(alive_t[:, None], thr * (1.0 - kr[:, None]), 0.0)
+                o = jnp.concatenate([rorig, torig])
+                d = jnp.concatenate([rdir, tdir])
+                thr = jnp.concatenate([thr_r, thr_t])
+                alive = jnp.concatenate([spec, alive_t])
+            else:
+                o, d, thr, alive = rorig, rdir, thr_r, spec
+
+    return radiance, traced
+
+
+def render(scene: Scene, camera: Camera, opts: RenderOptions,
+           count_rays: bool = False):
+    """Full-image render → (image [H,W,3] in [0,1], rays_traced scalar).
+
+    Tiles the pixel stream into `opts.tile_rays`-ray wavefronts processed
+    sequentially under `lax.scan` (bounded device memory at any resolution).
+    """
+    h, w = opts.height, opts.width
+    n_pix = h * w
+    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h)
+    tile = min(opts.tile_rays, _ceil_to(n_pix, 8))
+    n_pad = _ceil_to(n_pix, tile)
+    if n_pad != n_pix:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
+                                    (n_pad - n_pix, 3))])
+    dirs = dirs.reshape(-1, tile, 3)
+    orig = jnp.broadcast_to(camera.pos, (tile, 3))
+
+    def tile_fn(carry, tile_dirs):
+        rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays)
+        return carry + n, rad
+
+    traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)
+    img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(h, w, 3)
+    return img, traced
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def render_image(scene: Scene, camera: Camera, opts: RenderOptions):
+    """Convenience: jitted image-only render."""
+    return _render_jit(scene, camera, opts)[0]
+
+
+@partial(jax.jit, static_argnums=2)
+def _render_jit(scene, camera, opts):
+    return render(scene, camera, opts)

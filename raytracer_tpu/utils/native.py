@@ -1,0 +1,74 @@
+"""ctypes bindings to the optional C++ fast path (native/librt_native.so).
+
+The reference is a single C++ binary; our framework keeps C++ for the host-side
+runtime components where the reference's are native (SURVEY §2.2): OBJ parsing
+and uniform-grid building. The Python implementations are the always-available
+fallback — the native lib is a pure accelerator, never a semantic fork.
+
+Build: `make -C native` (produces native/librt_native.so).
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+class _NativeLib:
+    def __init__(self, cdll):
+        self._c = cdll
+        self._c.rt_load_obj.restype = ctypes.c_int
+        self._c.rt_load_obj.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),   # verts
+            ctypes.POINTER(ctypes.c_int),                      # n_verts
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),      # tris
+            ctypes.POINTER(ctypes.c_int),                      # n_tris
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),    # normals
+            ctypes.POINTER(ctypes.c_int),                      # n_normals
+        ]
+        self._c.rt_free.restype = None
+        self._c.rt_free.argtypes = [ctypes.c_void_p]
+
+    def load_obj(self, path: str):
+        vp = ctypes.POINTER(ctypes.c_float)()
+        np_ = ctypes.POINTER(ctypes.c_float)()
+        tp = ctypes.POINTER(ctypes.c_int)()
+        nv = ctypes.c_int()
+        nt = ctypes.c_int()
+        nn = ctypes.c_int()
+        rc = self._c.rt_load_obj(path.encode(), ctypes.byref(vp),
+                                 ctypes.byref(nv), ctypes.byref(tp),
+                                 ctypes.byref(nt), ctypes.byref(np_),
+                                 ctypes.byref(nn))
+        if rc != 0:
+            raise IOError(f"native OBJ load failed ({rc}): {path}")
+        verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
+        tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy()
+        normals = (np.ctypeslib.as_array(np_, (nn.value, 3)).copy()
+                   if nn.value else None)
+        for p in (vp, tp, np_):
+            if p:
+                self._c.rt_free(ctypes.cast(p, ctypes.c_void_p))
+        return verts.astype(np.float32), tris.astype(np.int32), normals
+
+    def grid_build(self, *a, **kw):
+        raise NotImplementedError
+
+
+def native_lib():
+    """The loaded native library, or None (Python fallbacks engage)."""
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        so = os.path.join(here, "native", "librt_native.so")
+        if os.path.exists(so) and not os.environ.get("RT_NO_NATIVE"):
+            try:
+                _LIB = _NativeLib(ctypes.CDLL(so))
+            except OSError:
+                _LIB = None
+    return _LIB

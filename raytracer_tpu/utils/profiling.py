@@ -1,0 +1,47 @@
+"""Profiling/metrics hooks (SURVEY.md §5 "Tracing / profiling").
+
+The reference's instrumentation is a wall-clock print around render(); ours is
+`jax.profiler` traces (XProf/Perfetto) around the step plus rays/s counters
+carried in the wavefront state (renderer.render count_rays=True).
+"""
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def xprof_trace(logdir: str):
+    """Capture a device trace viewable in XProf/Perfetto/TensorBoard."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock timer that blocks on device completion."""
+
+    def __init__(self):
+        self.t0 = None
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+
+
+def timed(fn, *args, repeats: int = 3):
+    """Best-of-N wall time of fn(*args) with block_until_ready, post-warmup."""
+    out = jax.block_until_ready(fn(*args))  # warmup/compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return out, best

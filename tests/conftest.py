@@ -1,0 +1,29 @@
+"""Test bootstrap: force an 8-device CPU simulator (SURVEY.md §4.4).
+
+The container's axon sitecustomize registers the real TPU in every process and
+forces jax_platforms=axon,cpu; the in-process config override below runs before
+any backend initialization and wins. Set RT_TESTS_TPU=1 to run the suite on the
+real chip instead (single device; distributed tests auto-skip).
+"""
+
+import os
+
+import jax
+
+if os.environ.get("RT_TESTS_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: needs the real TPU chip")
+    config.addinivalue_line("markers", "slow: long-running test")
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = os.environ.get("RT_TESTS_TPU") == "1"
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(pytest.mark.skip(reason="RT_TESTS_TPU!=1"))

@@ -1,0 +1,89 @@
+"""Distributed tests on the 8-device CPU simulator (SURVEY.md §4.4).
+
+The real shard_map code runs on 8 fake devices: sharded render must equal the
+single-device render bitwise; ring-streaming must equal the all-resident trace;
+gradients through shard_map must equal unsharded gradients.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.models import presets
+from raytracer_tpu.parallel.mesh import make_rt_mesh
+from raytracer_tpu.parallel.shard import render_sharded
+from raytracer_tpu.renderer import render
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (simulated) devices")
+
+
+@pytest.fixture(scope="module")
+def scene_small():
+    scene, cam, opts = presets.config2_mirror_spheres()
+    opts = dataclasses.replace(opts, width=64, height=48, tile_rays=256)
+    return scene, cam, opts
+
+
+@pytest.fixture(scope="module")
+def ref_img(scene_small):
+    scene, cam, opts = scene_small
+    return np.asarray(render(scene, cam, opts)[0])
+
+
+MESHES = [(8, 1, False), (4, 2, False), (2, 4, False), (1, 8, False),
+          (4, 2, True), (2, 4, True), (1, 8, True)]
+
+
+@pytest.mark.parametrize("tiles,prims,ring", MESHES,
+                         ids=[f"t{t}p{p}{'r' if r else ''}" for t, p, r in MESHES])
+def test_sharded_equals_single(scene_small, ref_img, tiles, prims, ring):
+    scene, cam, opts = scene_small
+    mesh = make_rt_mesh(tiles=tiles, prims=prims)
+    img = np.asarray(render_sharded(scene, cam, opts, mesh, ring=ring)[0])
+    np.testing.assert_array_equal(img, ref_img)
+
+
+def test_sharded_mesh_scene(ref_img):
+    """Triangle-mesh scene through prim sharding (tri shard path)."""
+    scene, cam, opts = presets.config3_cornell()
+    opts = dataclasses.replace(opts, width=48, height=48, tile_rays=256,
+                               max_depth=2)
+    ref = np.asarray(render(scene, cam, opts)[0])
+    mesh = make_rt_mesh(tiles=2, prims=4)
+    img = np.asarray(render_sharded(scene, cam, opts, mesh)[0])
+    np.testing.assert_array_equal(img, ref)
+    ring = np.asarray(render_sharded(scene, cam, opts, mesh, ring=True)[0])
+    np.testing.assert_array_equal(ring, ref)
+
+
+def test_sharded_grads_equal_unsharded(scene_small):
+    scene, cam, opts = scene_small
+    opts = dataclasses.replace(opts, width=32, height=32, tile_rays=256)
+    mesh = make_rt_mesh(tiles=4, prims=2)
+    target = render(scene, cam, opts)[0] * 0.0 + 0.25
+
+    def loss_single(c):
+        sc = scene.replace(spheres=dataclasses.replace(scene.spheres, center=c))
+        return jnp.mean((render(sc, cam, opts)[0] - target) ** 2)
+
+    def loss_sharded(c):
+        sc = scene.replace(spheres=dataclasses.replace(scene.spheres, center=c))
+        return jnp.mean((render_sharded(sc, cam, opts, mesh)[0] - target) ** 2)
+
+    c0 = scene.spheres.center
+    g1 = np.asarray(jax.grad(loss_single)(c0), np.float64)
+    g2 = np.asarray(jax.grad(loss_sharded)(c0), np.float64)
+    assert not np.isnan(g2).any()
+    np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-8)
+
+
+def test_ray_count_consistent(scene_small):
+    scene, cam, opts = scene_small
+    _, n1 = render(scene, cam, opts, count_rays=True)
+    mesh = make_rt_mesh(tiles=4, prims=2)
+    _, n2 = render_sharded(scene, cam, opts, mesh, count_rays=True)
+    assert float(n1) == pytest.approx(float(n2), rel=1e-6)
