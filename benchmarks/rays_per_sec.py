@@ -42,19 +42,48 @@ def _with_params(scene, p):
 
 def run_bench(config: str = "config4", repeats: int = 3, fwd_bwd: bool = True,
               width: int | None = None, height: int | None = None,
-              max_depth: int | None = None, emit_json: bool = True):
+              max_depth: int | None = None, emit_json: bool = True,
+              use_grid: bool | None = None, tile_rays: int | None = None):
     scene, cam, opts = presets.PRESETS[config]()
     if width:
         opts = dataclasses.replace(opts, width=width, height=height or width)
     if max_depth is not None:
         opts = dataclasses.replace(opts, max_depth=max_depth)
+    if tile_rays is not None:
+        opts = dataclasses.replace(opts, tile_rays=tile_rays)
 
-    # exact ray count (data-dependent) measured once
+    tracer = None
+    if use_grid or (use_grid is None and scene.meshes.count):
+        from raytracer_tpu.accel.grid import GridTracer
+
+        tracer = GridTracer.build(scene)
+
+    # IMPORTANT ordering: on this TPU stack the first device→host readback
+    # permanently degrades per-dispatch latency (~25 ms) for the rest of the
+    # process. All timing runs first (block_until_ready only, no readbacks);
+    # the data-dependent ray count is read back at the very end.
+    scene, cam, tracer = jax.device_put((scene, cam, tracer))
+
+    fwd = jax.jit(lambda s, c, tr: render(s, c, opts, tracer=tr)[0])
+    img, t_fwd = timed(fwd, scene, cam, tracer, repeats=repeats)
+
+    t_bwd = None
+    if fwd_bwd:
+        target = img * 0.9  # any fixed target; forces full backward
+
+        def loss(p, s, c, timg, tr):
+            out = render(_with_params(s, p), c, opts, tracer=tr)[0]
+            return jnp.mean((out - timg) ** 2)
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        p0 = _grad_params(scene)
+        (_, g), t_bwd = timed(lambda: vg(p0, scene, cam, target, tracer),
+                              repeats=repeats)
+
+    # ---- readbacks only below this line ----
     n_rays = float(jax.jit(
-        lambda s, c: render(s, c, opts, count_rays=True)[1])(scene, cam))
-
-    fwd = jax.jit(lambda s, c: render(s, c, opts)[0])
-    img, t_fwd = timed(fwd, scene, cam, repeats=repeats)
+        lambda s, c, tr: render(s, c, opts, count_rays=True, tracer=tr)[1])(
+            scene, cam, tracer))
     fwd_rate = n_rays / t_fwd
     results = {
         "config": config, "width": opts.width, "height": opts.height,
@@ -62,17 +91,7 @@ def run_bench(config: str = "config4", repeats: int = 3, fwd_bwd: bool = True,
         "fwd_s": t_fwd, "fwd_rays_per_sec": fwd_rate,
         "device": str(jax.devices()[0]),
     }
-
-    if fwd_bwd:
-        target = img * 0.9  # any fixed target; forces full backward
-
-        def loss(p, s, c, timg):
-            out = render(_with_params(s, p), c, opts)[0]
-            return jnp.mean((out - timg) ** 2)
-
-        vg = jax.jit(jax.value_and_grad(loss))
-        p0 = _grad_params(scene)
-        (_, g), t_bwd = timed(lambda: vg(p0, scene, cam, target), repeats=repeats)
+    if t_bwd is not None:
         results["fwd_bwd_s"] = t_bwd
         results["fwd_bwd_rays_per_sec"] = n_rays / t_bwd
 

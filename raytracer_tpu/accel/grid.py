@@ -1,0 +1,291 @@
+"""Uniform-grid acceleration: host build → flat tensors → device DDA walk.
+
+Reference analog: the naive-grid/BVH traversal for big meshes (SURVEY.md §2.2
+"Accel grid/BVH", BASELINE config 4). TPU-first shape (SURVEY §7.3.1):
+
+- Host build (NumPy, cold path): triangle AABBs → CSR-free *fixed-capacity*
+  cell table `cell_tris[ncells, C]` (sentinel-padded). Cells that overflow C
+  spill their extra triangles into a small global `overflow` list tested once
+  per trace — static shapes everywhere, no per-cell variable lengths.
+- Device walk: vectorized Amanatides–Woo 3D-DDA over the ray wavefront inside
+  a `lax.while_loop` (runs until every lane parks or K steps). Legal because
+  the winner search is integer-only and stop-gradient (ops/trace.py design);
+  the differentiable recompute never sees the loop.
+- A lane parks when its best hit lies inside the current cell's t-range
+  (`best_t <= min(tmax)`) — the standard grid early-exit that keeps
+  cross-cell triangle spans correct.
+
+Gradients: cell assignment is frozen at build time (host, concrete arrays);
+vertex gradients still flow through the winner recompute. Rebuild the grid
+when vertices move materially (inverse rendering loops rebuild per step,
+outside jit).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.ops import geometry as geom
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass
+class GridData:
+    """Device-side grid tensors + static layout metadata."""
+
+    bmin: jax.Array       # [3] f32 grid AABB min
+    inv_cell: jax.Array   # [3] f32 1/cell_size
+    cell_size: jax.Array  # [3] f32
+    cell_tris: jax.Array  # [ncells, C] i32 — triangle ids, sentinel = n_tris
+    overflow: jax.Array   # [O] i32 — spilled triangle ids (may be empty)
+    res: tuple            # static (nx, ny, nz)
+    capacity: int         # static C
+    n_tris: int           # static sentinel value (= index of degenerate pad tri)
+
+
+jax.tree_util.register_dataclass(
+    GridData,
+    data_fields=["bmin", "inv_cell", "cell_size", "cell_tris", "overflow"],
+    meta_fields=["res", "capacity", "n_tris"])
+
+
+def build_grid(verts, tris, res=None, capacity: int = 16,
+               density: float = 4.0) -> GridData:
+    """Host-side grid build from concrete arrays (not traceable)."""
+    verts = np.asarray(verts, np.float64)
+    tris = np.asarray(tris, np.int64)
+    t = tris.shape[0]
+    assert t > 0, "grid over empty mesh"
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+
+    bmin = np.minimum(np.minimum(v0, v1), v2).min(axis=0)
+    bmax = np.maximum(np.maximum(v0, v1), v2).max(axis=0)
+    extent = np.maximum(bmax - bmin, 1e-6)
+    pad = 1e-4 * np.linalg.norm(extent)
+    bmin -= pad
+    bmax += pad
+    extent = bmax - bmin
+
+    if res is None:
+        # Cleary/Wald heuristic: cells ∝ cbrt(density·T) scaled by extent shape
+        base = (density * t) ** (1.0 / 3.0)
+        r = np.maximum(1, np.minimum(
+            64, np.round(base * extent / (extent.prod() ** (1.0 / 3.0)))
+        )).astype(np.int64)
+        res = tuple(int(x) for x in r)
+    nx, ny, nz = res
+    cell = extent / np.array([nx, ny, nz], np.float64)
+
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    lo = np.clip(((tmin - bmin) / cell).astype(np.int64), 0,
+                 np.array([nx - 1, ny - 1, nz - 1]))
+    hi = np.clip(((tmax - bmin) / cell).astype(np.int64), 0,
+                 np.array([nx - 1, ny - 1, nz - 1]))
+
+    ncells = nx * ny * nz
+    lists: list[list[int]] = [[] for _ in range(ncells)]
+    for i in range(t):
+        for cx in range(lo[i, 0], hi[i, 0] + 1):
+            for cy in range(lo[i, 1], hi[i, 1] + 1):
+                for cz in range(lo[i, 2], hi[i, 2] + 1):
+                    lists[(cx * ny + cy) * nz + cz].append(i)
+
+    cell_tris = np.full((ncells, capacity), t, np.int32)  # sentinel = t
+    overflow: set[int] = set()
+    for c, ids in enumerate(lists):
+        cell_tris[c, : min(len(ids), capacity)] = ids[:capacity]
+        overflow.update(ids[capacity:])
+    ov = np.asarray(sorted(overflow), np.int32)
+
+    return GridData(
+        bmin=jnp.asarray(bmin, jnp.float32),
+        inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
+        cell_size=jnp.asarray(cell, jnp.float32),
+        cell_tris=jnp.asarray(cell_tris),
+        overflow=jnp.asarray(ov),
+        res=(nx, ny, nz), capacity=capacity, n_tris=t)
+
+
+def _pad_soa(v0, e1, e2):
+    """Append the sentinel degenerate triangle (always misses) at index T."""
+    z = jnp.zeros((1, 3), v0.dtype)
+    return (jnp.concatenate([v0, z]), jnp.concatenate([e1, z]),
+            jnp.concatenate([e2, z]))
+
+
+def _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min):
+    """MT over gathered triangle ids [N,C] → (t [N,C])."""
+    tv0 = v0p[tids]
+    te1 = e1p[tids]
+    te2 = e2p[tids]
+    t, _, _ = geom.triangle_tuv(orig[:, None, :], direc[:, None, :], tv0, te1,
+                                te2, t_min)
+    return t
+
+
+def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
+              occlusion_max_t=None):
+    """Vectorized DDA over all rays → (best_t [N], best_idx [N]).
+
+    With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
+    found (any-hit mode); best_t < max_t then means occluded.
+    """
+    n = orig.shape[0]
+    nx, ny, nz = grid.res
+    resv = jnp.asarray([nx, ny, nz], jnp.int32)
+    v0p, e1p, e2p = _pad_soa(v0, e1, e2)
+
+    best_t = jnp.full((n,), INF, jnp.float32)
+    best_i = jnp.full((n,), grid.n_tris, jnp.int32)
+
+    # overflow list: brute once (usually tiny)
+    if grid.overflow.shape[0]:
+        ts = _eval_tris(orig, direc, jnp.broadcast_to(
+            grid.overflow[None, :], (n, grid.overflow.shape[0])), v0p, e1p,
+            e2p, t_min)
+        best_t = jnp.min(ts, axis=1)
+        best_i = grid.overflow[jnp.argmin(ts, axis=1)]
+
+    # ray/AABB slab entry
+    bmax = grid.bmin + grid.cell_size * resv.astype(jnp.float32)
+    inv_d = jnp.where(jnp.abs(direc) > 1e-12, 1.0 / direc, 1e12)
+    t0 = (grid.bmin[None, :] - orig) * inv_d
+    t1 = (bmax[None, :] - orig) * inv_d
+    tlo = jnp.minimum(t0, t1).max(axis=1)
+    thi = jnp.maximum(t0, t1).min(axis=1)
+    t_entry = jnp.maximum(tlo, 0.0)
+    inside = (thi >= t_entry) & (thi > 0)
+
+    p_entry = orig + (t_entry + 1e-5)[:, None] * direc
+    cellf = (p_entry - grid.bmin[None, :]) * grid.inv_cell[None, :]
+    cell = jnp.clip(jnp.floor(cellf).astype(jnp.int32), 0, resv - 1)
+    step = jnp.where(direc > 0, 1, -1).astype(jnp.int32)
+    tdelta = jnp.abs(grid.cell_size[None, :] * inv_d)
+    next_bound = (grid.bmin[None, :]
+                  + (cell + (step > 0)).astype(jnp.float32)
+                  * grid.cell_size[None, :])
+    tmax = jnp.where(jnp.abs(direc) > 1e-12,
+                     (next_bound - orig) * inv_d, INF)
+
+    active = inside
+    max_steps = nx + ny + nz + 2
+
+    def parked(best_t, tmax_min):
+        if occlusion_max_t is not None:
+            # any-hit: done once occluded, or once the walk passed the light
+            return (best_t < occlusion_max_t) | (tmax_min > occlusion_max_t)
+        return best_t <= tmax_min
+
+    def cond(state):
+        it, cell, tmax, best_t, best_i, active = state
+        return jnp.any(active) & (it < max_steps)
+
+    def body(state):
+        it, cell, tmax, best_t, best_i, active = state
+        cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+        cid = jnp.where(active, cid, 0)
+        tids = grid.cell_tris[cid]                       # [N, C]
+        ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        ts = jnp.where(active[:, None], ts, INF)
+        tc = jnp.min(ts, axis=1)
+        ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
+                                 axis=1)[:, 0]
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_i = jnp.where(better, ic, best_i)
+
+        tmax_min = jnp.min(tmax, axis=1)
+        done = parked(best_t, tmax_min)
+        axis = jnp.argmin(tmax, axis=1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell_n = cell + onehot * step
+        tmax_n = tmax + onehot.astype(tmax.dtype) * tdelta
+        out = jnp.any((cell_n < 0) | (cell_n >= resv[None, :]), axis=1)
+        advance = active & ~done
+        cell = jnp.where(advance[:, None], cell_n, cell)
+        tmax = jnp.where(advance[:, None], tmax_n, tmax)
+        active = advance & ~out
+        return it + 1, cell, tmax, best_t, best_i, active
+
+    state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)
+    _, _, _, best_t, best_i, _ = jax.lax.while_loop(cond, body, state)
+    return best_t, best_i
+
+
+class GridTracer:
+    """Drop-in tracer: grid-accelerated triangles + brute spheres/planes.
+
+    Built on host from a concrete scene (`GridTracer.build(scene)`); the
+    resulting object is a pytree-of-arrays closure safe to pass through jit.
+    """
+
+    def __init__(self, scene, grid: GridData):
+        from raytracer_tpu.core.types import as_jax
+
+        self._scene = as_jax(scene)
+        self._grid = grid
+        v0, e1, e2 = self._scene.meshes.tri_soa()
+        self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
+                                           jnp.asarray(e1, jnp.float32),
+                                           jnp.asarray(e2, jnp.float32)))
+
+    @staticmethod
+    def build(scene, capacity: int = 16, res=None):
+        grid = build_grid(np.asarray(scene.meshes.verts),
+                          np.asarray(scene.meshes.tris), res=res,
+                          capacity=capacity)
+        return GridTracer(scene, grid)
+
+    def nearest(self, orig, direc, t_min, tri_chunk):
+        from raytracer_tpu.core.types import KIND_TRIANGLE
+        from raytracer_tpu.ops import trace as trace_ops
+
+        orig = jax.lax.stop_gradient(orig)
+        direc = jax.lax.stop_gradient(direc)
+        # spheres + planes via the standard search on a mesh-less scene
+        base = trace_ops.nearest_hit(
+            self._scene.replace(meshes=_EMPTY_MESHES), orig, direc, t_min,
+            tri_chunk)
+        v0, e1, e2 = self._soa
+        tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min)
+        better = tb < base.t
+        return trace_ops.Hit(
+            kind=jnp.where(better, KIND_TRIANGLE, base.kind),
+            idx=jnp.where(better, ib, base.idx),
+            t=jnp.where(better, tb, base.t))
+
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+        from raytracer_tpu.ops import trace as trace_ops
+
+        orig = jax.lax.stop_gradient(orig)
+        direc = jax.lax.stop_gradient(direc)
+        max_t = jax.lax.stop_gradient(max_t)
+        occ = trace_ops.occluded(self._scene.replace(meshes=_EMPTY_MESHES),
+                                 orig, direc, max_t, t_min, tri_chunk)
+        v0, e1, e2 = self._soa
+        tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
+                          occlusion_max_t=max_t)
+        return occ | (tb < max_t)
+
+
+from raytracer_tpu.core.types import Meshes as _Meshes  # noqa: E402
+
+_EMPTY_MESHES = _Meshes.empty()
+
+jax.tree_util.register_pytree_node(
+    GridTracer,
+    lambda tr: ((tr._scene, tr._grid, tr._soa), None),
+    lambda aux, ch: _grid_tracer_unflatten(ch))
+
+
+def _grid_tracer_unflatten(children):
+    scene, grid, soa = children
+    obj = GridTracer.__new__(GridTracer)
+    obj._scene = scene
+    obj._grid = grid
+    obj._soa = soa
+    return obj

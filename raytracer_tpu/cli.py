@@ -24,8 +24,13 @@ def cmd_render(args):
                                    height=args.height or args.width)
     if args.max_depth is not None:
         opts = dataclasses.replace(opts, max_depth=args.max_depth)
+    tracer = None
+    if args.grid and scene.meshes.count:
+        from raytracer_tpu.accel.grid import GridTracer
+
+        tracer = GridTracer.build(scene)
     t0 = time.perf_counter()
-    img, traced = render(scene, cam, opts, count_rays=True)
+    img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
     img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = float(traced)
@@ -101,6 +106,8 @@ def main(argv=None):
     pr.add_argument("--width", type=int, default=0)
     pr.add_argument("--height", type=int, default=0)
     pr.add_argument("--max-depth", type=int, default=None)
+    pr.add_argument("--grid", action="store_true",
+                    help="uniform-grid acceleration for meshes")
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")

@@ -37,11 +37,15 @@ def _pytree(cls):
 
 
 def _f32(x):
-    return jnp.asarray(x, jnp.float32)
+    # Host (numpy) arrays on purpose: scene construction is cold path; jit
+    # uploads leaves at call time. Building eagerly on device would also force
+    # device→host readbacks in make_scene (has_glass), and on this TPU stack a
+    # single D2H permanently degrades dispatch latency (see memory notes).
+    return np.asarray(x, np.float32)
 
 
 def _i32(x):
-    return jnp.asarray(x, jnp.int32)
+    return np.asarray(x, np.int32)
 
 
 @_pytree
@@ -185,6 +189,16 @@ class Lights:
     @property
     def count(self) -> int:
         return self.pos.shape[0]
+
+
+def as_jax(tree):
+    """Coerce numpy leaves to jnp arrays (no-op for tracers/device arrays).
+
+    Scenes are built as host numpy pytrees (see _f32); call this at jit-trace
+    entry points so traced gathers (`verts[idx]`) work. Eagerly this is a pure
+    H2D upload — it never triggers a device→host readback.
+    """
+    return jax.tree.map(jnp.asarray, tree)
 
 
 @dataclasses.dataclass

@@ -32,7 +32,10 @@ def sphere_t(orig, direc, center, radius, t_min):
     b = 2.0 * dot(direc, L)
     c0 = dot(L, L) - radius * radius
     disc = b * b - 4.0 * a * c0
-    has_root = disc >= 0
+    # radius > 0 guard: r<=0 marks padding spheres (parallel/tracer.py); for a
+    # true r=0 the discriminant is ≤0 analytically but fp cancellation on huge
+    # |L| can produce phantom roots.
+    has_root = (disc >= 0) & (radius > 0)
     sq = safe_sqrt(disc, valid=has_root)
     q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
     t0 = safe_div(q, a)
@@ -150,5 +153,10 @@ def raygen(cam_pos, c2w, fov_deg, width, height, dtype=jnp.float32):
     xx = jnp.broadcast_to(x[None, :], (height, width))
     yy = jnp.broadcast_to(y[:, None], (height, width))
     d_cam = jnp.stack([xx, yy, -jnp.ones_like(xx)], axis=-1).reshape(-1, 3)
-    d_world = d_cam @ c2w.T.astype(dtype)
+    # explicit rotate (not @): TPU matmuls default to bf16 mantissa, which
+    # shifts ray directions enough to flip ~2% of pixels vs the fp32 oracle
+    m = c2w.astype(dtype)
+    d_world = (d_cam[:, 0:1] * m[:, 0][None, :]
+               + d_cam[:, 1:2] * m[:, 1][None, :]
+               + d_cam[:, 2:3] * m[:, 2][None, :])
     return normalize(d_world, valid=jnp.ones(d_world.shape[:-1], bool))

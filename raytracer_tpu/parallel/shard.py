@@ -34,6 +34,10 @@ def _ceil_to(x: int, m: int) -> int:
 def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
                    ring: bool = False, count_rays: bool = False):
     """Full-image render on a Mesh('tiles','prims') → (image, rays_traced)."""
+    from raytracer_tpu.core.types import as_jax
+
+    scene = as_jax(scene)
+    camera = as_jax(camera)
     n_tiles = mesh.shape["tiles"]
     n_prims = mesh.shape["prims"]
     h, w = opts.height, opts.width

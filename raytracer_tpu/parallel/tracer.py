@@ -61,8 +61,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 def pad_trace_geom(g: TraceGeom, p: int) -> TraceGeom:
     """Pad each group to a multiple of p shards with can't-win primitives:
-    spheres at 1e9 (never nearest), zero-normal planes and zero-area triangles
-    (always miss)."""
+    negative-radius spheres (masked in sphere_t), zero-normal planes and
+    zero-area triangles (always miss)."""
 
     def pad(a, n, fill=0.0):
         extra = n - a.shape[0]
@@ -75,7 +75,7 @@ def pad_trace_geom(g: TraceGeom, p: int) -> TraceGeom:
     npl = _ceil_to(g.pl_p.shape[0], p)
     nt = _ceil_to(g.tri_v0.shape[0], p)
     return TraceGeom(
-        pad(g.sph_c, ns, 1e9), pad(g.sph_r, ns, 0.0),
+        pad(g.sph_c, ns, 0.0), pad(g.sph_r, ns, -1.0),
         pad(g.pl_p, npl, 0.0), pad(g.pl_n, npl, 0.0),
         pad(g.tri_v0, nt, 0.0), pad(g.tri_e1, nt, 0.0),
         pad(g.tri_e2, nt, 0.0))
@@ -148,12 +148,26 @@ def _globalize(hit, shard_sizes, shard_index):
     return dataclasses.replace(hit, idx=hit.idx + off.astype(jnp.int32))
 
 
+def _fold_hit(best, hit):
+    """Lexicographic (t, kind, idx) min — the exact single-device tie order
+    (sphere < plane < triangle, then lower index). Exact ties are real here:
+    rays hitting a shared triangle edge (e.g. a wall-quad diagonal) register
+    identical t in both triangles, which may live in different shards."""
+    tie = hit.t == best.t
+    better = (hit.t < best.t) | (tie & ((hit.kind < best.kind)
+              | ((hit.kind == best.kind) & (hit.idx < best.idx))))
+    return trace_ops.Hit(kind=jnp.where(better, hit.kind, best.kind),
+                         idx=jnp.where(better, hit.idx, best.idx),
+                         t=jnp.where(better, hit.t, best.t))
+
+
 def _combine_gathered(t_all, kind_all, idx_all):
-    """[P,N] partial hits → per-ray winner (lowest shard wins exact ties)."""
-    win = jnp.argmin(t_all, axis=0)  # [N]
-    take = lambda a: jnp.take_along_axis(a, win[None, :], axis=0)[0]
-    return trace_ops.Hit(kind=take(kind_all), idx=take(idx_all),
-                         t=take(t_all))
+    """[P,N] partial hits → per-ray winner in (t, kind, idx) order."""
+    best = trace_ops.Hit(kind=kind_all[0], idx=idx_all[0], t=t_all[0])
+    for p in range(1, t_all.shape[0]):
+        best = _fold_hit(best, trace_ops.Hit(kind=kind_all[p], idx=idx_all[p],
+                                             t=t_all[p]))
+    return best
 
 
 class LocalTracer:
@@ -222,10 +236,7 @@ class RingTracer:
             owner = (me - step) % self._p  # whose shard we hold now
             hit = _local_nearest(g, orig, direc, t_min, tri_chunk)
             hit = _globalize(hit, self._sizes, owner)
-            better = hit.t < best.t
-            best = trace_ops.Hit(kind=jnp.where(better, hit.kind, best.kind),
-                                 idx=jnp.where(better, hit.idx, best.idx),
-                                 t=jnp.where(better, hit.t, best.t))
+            best = _fold_hit(best, hit)
             if step + 1 < self._p:
                 g = jax.tree.map(
                     lambda a: jax.lax.ppermute(a, self._axis, self._perm()), g)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from raytracer_tpu.core.types import (
     DIFFUSE_AND_GLOSSY, REFLECTION, REFLECTION_AND_REFRACTION, Camera,
     RenderOptions, Scene)
+from raytracer_tpu.core.types import as_jax as _types_as_jax
 from raytracer_tpu.ops import geometry as geom
 from raytracer_tpu.ops.shade import shade_diffuse
 from raytracer_tpu.ops.safemath import clamp01, normalize
@@ -45,6 +46,7 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     counts every live trace lane (primary + secondary + shadow) — the rays/s
     numerator.
     """
+    scene = _types_as_jax(scene)
     n0 = orig.shape[0]
     bg = jnp.asarray(opts.background, jnp.float32)
     radiance = jnp.zeros((n0, 3), jnp.float32)
@@ -110,11 +112,13 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
 
 
 def render(scene: Scene, camera: Camera, opts: RenderOptions,
-           count_rays: bool = False):
+           count_rays: bool = False, tracer=None):
     """Full-image render → (image [H,W,3] in [0,1], rays_traced scalar).
 
     Tiles the pixel stream into `opts.tile_rays`-ray wavefronts processed
     sequentially under `lax.scan` (bounded device memory at any resolution).
+    `tracer` plugs in an alternate winner-search backend (accel.GridTracer,
+    parallel tracers, Pallas) — build it outside jit from the concrete scene.
     """
     h, w = opts.height, opts.width
     n_pix = h * w
@@ -129,7 +133,8 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
     orig = jnp.broadcast_to(camera.pos, (tile, 3))
 
     def tile_fn(carry, tile_dirs):
-        rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays)
+        rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays,
+                             tracer=tracer)
         return carry + n, rad
 
     traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)

@@ -36,12 +36,19 @@ class Timer:
         self.elapsed = time.perf_counter() - self.t0
 
 
-def timed(fn, *args, repeats: int = 3):
-    """Best-of-N wall time of fn(*args) with block_until_ready, post-warmup."""
+def timed(fn, *args, repeats: int = 3, inner: int = 8):
+    """Best-of-N amortized wall time of fn(*args), post-warmup.
+
+    Issues `inner` back-to-back dispatches and blocks once: robust against
+    async-dispatch timing jitter (a single block_until_ready round-trip can
+    under- or over-state sub-ms kernels). No device→host readbacks.
+    """
     out = jax.block_until_ready(fn(*args))  # warmup/compile
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(inner):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
     return out, best

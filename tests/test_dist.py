@@ -54,10 +54,13 @@ def test_sharded_mesh_scene(ref_img):
                                max_depth=2)
     ref = np.asarray(render(scene, cam, opts)[0])
     mesh = make_rt_mesh(tiles=2, prims=4)
+    # ulp-level tolerance: the sharded programs are different XLA computations
+    # (different fusion/FMA contraction) and exact-tie shared-edge hits may
+    # resolve to the equivalent co-planar triangle.
     img = np.asarray(render_sharded(scene, cam, opts, mesh)[0])
-    np.testing.assert_array_equal(img, ref)
+    np.testing.assert_allclose(img, ref, atol=1e-6)
     ring = np.asarray(render_sharded(scene, cam, opts, mesh, ring=True)[0])
-    np.testing.assert_array_equal(ring, ref)
+    np.testing.assert_allclose(ring, ref, atol=1e-6)
 
 
 def test_sharded_grads_equal_unsharded(scene_small):

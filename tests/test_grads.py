@@ -129,7 +129,7 @@ def test_grad_triangle_vertices():
         sc = scene.replace(meshes=dataclasses.replace(scene.meshes, verts=v))
         return jnp.mean((render(sc, cam, opts)[0] - timg) ** 2)
 
-    v0 = scene.meshes.verts
+    v0 = jnp.asarray(scene.meshes.verts)
     g = np.asarray(jax.grad(loss)(v0), np.float64)
     assert not np.isnan(g).any()
     eps = 1e-3

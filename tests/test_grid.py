@@ -1,0 +1,114 @@
+"""Uniform-grid acceleration: device DDA walk must reproduce brute force.
+
+SURVEY.md §4.2 (grid-DDA cell walk) + §7.3.1 (the top-risk component).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.accel.grid import GridTracer, build_grid, grid_walk
+from raytracer_tpu.core.types import Meshes
+from raytracer_tpu.io import meshgen
+from raytracer_tpu.models import presets
+from raytracer_tpu.renderer import render
+from tests.helpers import assert_images_close
+
+
+@pytest.fixture(scope="module")
+def mesh_scene():
+    scene, cam, opts = presets.config4_mesh(use_obj=False)
+    verts, tris = meshgen.bumpy_sphere(subdiv=3, radius=1.3)
+    normals = meshgen.vertex_normals(verts, tris)
+    verts = verts + np.array([0.0, -0.1, -5.5], np.float32)
+    scene = scene.replace(meshes=Meshes.build(
+        verts, tris, np.zeros((tris.shape[0],), np.int32), normals=normals))
+    opts = dataclasses.replace(opts, width=96, height=54, max_depth=2,
+                               tile_rays=2592)
+    return scene, cam, opts
+
+
+def test_grid_build_covers_all_tris(mesh_scene):
+    scene, _, _ = mesh_scene
+    g = build_grid(np.asarray(scene.meshes.verts),
+                   np.asarray(scene.meshes.tris), capacity=8)
+    t = scene.meshes.count
+    in_cells = set(np.asarray(g.cell_tris).ravel().tolist()) - {t}
+    in_overflow = set(np.asarray(g.overflow).tolist())
+    assert in_cells | in_overflow == set(range(t))
+
+
+def test_grid_render_equals_brute(mesh_scene):
+    scene, cam, opts = mesh_scene
+    ref = np.asarray(render(scene, cam, opts)[0])
+    tr = GridTracer.build(scene)
+    img = np.asarray(render(scene, cam, opts, tracer=tr)[0])
+    # exact-tie shared-edge hits may pick the other triangle → tiny pixel set
+    assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="grid")
+
+
+def test_grid_render_small_capacity_overflow(mesh_scene):
+    """Force heavy overflow (capacity=2): the spill path must stay exact."""
+    scene, cam, opts = mesh_scene
+    ref = np.asarray(render(scene, cam, opts)[0])
+    tr = GridTracer.build(scene, capacity=2)
+    assert tr._grid.overflow.shape[0] > 0
+    img = np.asarray(render(scene, cam, opts, tracer=tr)[0])
+    assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="grid-ovf")
+
+
+def test_grid_walk_unit_cases():
+    # single unit triangle in z=-3 plane
+    verts = np.array([[-1, -1, -3], [1, -1, -3], [0, 1, -3]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    g = build_grid(verts, tris, res=(4, 4, 1), capacity=4)
+    v0 = jnp.asarray(verts[tris[:, 0]])
+    e1 = jnp.asarray(verts[tris[:, 1]] - verts[tris[:, 0]])
+    e2 = jnp.asarray(verts[tris[:, 2]] - verts[tris[:, 0]])
+
+    orig = jnp.asarray([[0.0, 0.0, 0.0],    # hit head-on
+                        [0.0, 0.0, -5.0],   # behind, shooting away
+                        [5.0, 5.0, 0.0],    # misses the grid box
+                        [0.0, 0.0, -2.9]])  # origin inside the box
+    direc = jnp.asarray([[0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0]])
+    t, i = grid_walk(g, v0, e1, e2, orig, direc, 1e-4)
+    t = np.asarray(t)
+    assert t[0] == pytest.approx(3.0, abs=1e-5)
+    assert np.isinf(t[1])
+    assert np.isinf(t[2])
+    assert t[3] == pytest.approx(0.1, abs=1e-5)
+
+
+def test_grid_axis_aligned_dir_zero_component():
+    verts = np.array([[-1, -1, -3], [1, -1, -3], [0, 1, -3]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    g = build_grid(verts, tris, res=(3, 3, 2), capacity=4)
+    v0 = jnp.asarray(verts[tris[:, 0]])
+    e1 = jnp.asarray(verts[tris[:, 1]] - verts[tris[:, 0]])
+    e2 = jnp.asarray(verts[tris[:, 2]] - verts[tris[:, 0]])
+    # dir has exact zeros in x and y
+    t, _ = grid_walk(g, v0, e1, e2, jnp.asarray([[0.25, -0.5, 1.0]]),
+                     jnp.asarray([[0.0, 0.0, -1.0]]), 1e-4)
+    assert float(t[0]) == pytest.approx(4.0, abs=1e-5)
+
+
+def test_grid_occlusion_matches_brute(mesh_scene):
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import trace as trace_ops
+
+    rng = np.random.default_rng(3)
+    orig = jnp.asarray(rng.normal(size=(256, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    max_t = jnp.full((256,), 4.0, jnp.float32)
+    want = trace_ops.occluded(scene, orig, d, max_t, 1e-4, 512)
+    tr = GridTracer.build(scene)
+    got = tr.occluded(orig, d, max_t, 1e-4, 512)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
