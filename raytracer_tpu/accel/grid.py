@@ -41,6 +41,9 @@ class GridData:
     cell_size: jax.Array  # [3] f32
     cell_tris: jax.Array  # [ncells, C] i32 — triangle ids, sentinel = n_tris
     overflow: jax.Array   # [O] i32 — spilled triangle ids (may be empty)
+    ov_v0: jax.Array      # [O,3] f32 — overflow tri SoA pre-gathered at build
+    ov_e1: jax.Array      # [O,3] (device gathers don't fuse; a build-time
+    ov_e2: jax.Array      # [O,3]  gather keeps the brute test pure broadcast)
     res: tuple            # static (nx, ny, nz)
     capacity: int         # static C
     n_tris: int           # static sentinel value (= index of degenerate pad tri)
@@ -48,11 +51,12 @@ class GridData:
 
 jax.tree_util.register_dataclass(
     GridData,
-    data_fields=["bmin", "inv_cell", "cell_size", "cell_tris", "overflow"],
+    data_fields=["bmin", "inv_cell", "cell_size", "cell_tris", "overflow",
+                 "ov_v0", "ov_e1", "ov_e2"],
     meta_fields=["res", "capacity", "n_tris"])
 
 
-def build_grid(verts, tris, res=None, capacity: int = 16,
+def build_grid(verts, tris, res=None, capacity: int = 24,
                density: float = 4.0) -> GridData:
     """Host-side grid build from concrete arrays (not traceable)."""
     verts = np.asarray(verts, np.float64)
@@ -100,6 +104,11 @@ def build_grid(verts, tris, res=None, capacity: int = 16,
         cell_tris[c, : min(len(ids), capacity)] = ids[:capacity]
         overflow.update(ids[capacity:])
     ov = np.asarray(sorted(overflow), np.int32)
+    ov_v0 = v0[ov].astype(np.float32) if len(ov) else np.zeros((0, 3), np.float32)
+    ov_e1 = ((v1 - v0)[ov].astype(np.float32) if len(ov)
+             else np.zeros((0, 3), np.float32))
+    ov_e2 = ((v2 - v0)[ov].astype(np.float32) if len(ov)
+             else np.zeros((0, 3), np.float32))
 
     return GridData(
         bmin=jnp.asarray(bmin, jnp.float32),
@@ -107,6 +116,8 @@ def build_grid(verts, tris, res=None, capacity: int = 16,
         cell_size=jnp.asarray(cell, jnp.float32),
         cell_tris=jnp.asarray(cell_tris),
         overflow=jnp.asarray(ov),
+        ov_v0=jnp.asarray(ov_v0), ov_e1=jnp.asarray(ov_e1),
+        ov_e2=jnp.asarray(ov_e2),
         res=(nx, ny, nz), capacity=capacity, n_tris=t)
 
 
@@ -142,11 +153,11 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     best_t = jnp.full((n,), INF, jnp.float32)
     best_i = jnp.full((n,), grid.n_tris, jnp.int32)
 
-    # overflow list: brute once (usually tiny)
+    # overflow list: brute once (tiny; pre-gathered SoA so XLA fuses the
+    # [N,O] candidate matrix into the reduce instead of materializing gathers)
     if grid.overflow.shape[0]:
-        ts = _eval_tris(orig, direc, jnp.broadcast_to(
-            grid.overflow[None, :], (n, grid.overflow.shape[0])), v0p, e1p,
-            e2p, t_min)
+        ts, _, _ = geom.triangle_hits(orig, direc, grid.ov_v0, grid.ov_e1,
+                                      grid.ov_e2, t_min)
         best_t = jnp.min(ts, axis=1)
         best_i = grid.overflow[jnp.argmin(ts, axis=1)]
 

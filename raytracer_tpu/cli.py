@@ -45,6 +45,11 @@ def cmd_render(args):
 
 
 def cmd_optimize(args):
+    """Inverse rendering (BASELINE config 5) with orbax checkpoint/resume and
+    per-step JSONL metrics (SURVEY.md §5 'Checkpoint / resume', 'Metrics')."""
+    import json
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,7 +61,8 @@ def cmd_optimize(args):
 
     init, target, cam, opts = presets.config5_inverse()
     timg = render(target, cam, opts)[0]
-    params = {"center": init.spheres.center, "albedo": init.materials.albedo}
+    params = {"center": jnp.asarray(init.spheres.center),
+              "albedo": jnp.asarray(init.materials.albedo)}
 
     def loss(p):
         sc = init.replace(
@@ -67,6 +73,23 @@ def cmd_optimize(args):
 
     opt = optax.adam(args.lr)
     state = opt.init(params)
+    start = 0
+
+    ckpt_mgr = ocp = None
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(args.checkpoint)
+        ckpt_mgr = ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(max_to_keep=2))
+        latest = ckpt_mgr.latest_step()
+        if args.resume and latest is not None:
+            restored = ckpt_mgr.restore(
+                latest, args=ocp.args.StandardRestore(
+                    {"params": params, "opt_state": state}))
+            params, state = restored["params"], restored["opt_state"]
+            start = latest + 1
+            print(f"resumed from step {latest} at {path}")
 
     @jax.jit
     def step(p, s):
@@ -74,10 +97,16 @@ def cmd_optimize(args):
         upd, s = opt.update(g, s)
         return optax.apply_updates(p, upd), s, val
 
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         params, state, val = step(params, state)
-        if i % 20 == 0 or i == args.steps - 1:
-            print(f"step {i:4d}  loss {float(val):.3e}")
+        if i % args.log_every == 0 or i == args.steps - 1:
+            print(json.dumps({"step": i, "loss": float(val)}))
+        if ckpt_mgr is not None and (i % args.ckpt_every == 0
+                                     or i == args.steps - 1):
+            ckpt_mgr.save(i, args=ocp.args.StandardSave(
+                {"params": params, "opt_state": state}))
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
     sc = init.replace(
         spheres=dataclasses.replace(init.spheres, center=params["center"]),
         materials=dataclasses.replace(
@@ -114,6 +143,12 @@ def main(argv=None):
     po.add_argument("--steps", type=int, default=200)
     po.add_argument("--lr", type=float, default=1e-2)
     po.add_argument("--out", default="recovered.png")
+    po.add_argument("--checkpoint", default="",
+                    help="orbax checkpoint dir (enables save)")
+    po.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint")
+    po.add_argument("--ckpt-every", type=int, default=25)
+    po.add_argument("--log-every", type=int, default=10)
     po.set_defaults(fn=cmd_optimize)
 
     pb = sub.add_parser("bench")

@@ -284,6 +284,7 @@ class RenderOptions:
     t_min: float = 1e-4
     background: tuple = (0.235294, 0.67451, 0.843137)
     tile_rays: int = 16384   # wavefront tile size (primary rays per device step)
+    remat_tiles: bool = True  # jax.checkpoint per tile (bounded backward memory)
     tri_chunk: int = 1024    # triangles per inner scan step in the jnp trace
     use_pallas: bool = False  # Pallas megakernel for trace (TPU); jnp otherwise
     use_grid: bool = False    # uniform-grid acceleration for meshes

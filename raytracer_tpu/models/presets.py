@@ -156,7 +156,10 @@ def config4_mesh(use_obj: bool = True):
                             [(0.7, 0.7, 0.7), (0.45, 0.45, 0.45)]),
     )
     cam = Camera.build(pos=(0.0, 0.6, 1.2), fov_deg=50.0)
-    opts = RenderOptions(width=1920, height=1080, max_depth=4)
+    # tile 131072: grid-walk DDA gathers materialize [tile, capacity, 3]
+    # per step — big tiles amortize dispatch, huge ones blow HBM.
+    opts = RenderOptions(width=1920, height=1080, max_depth=4,
+                         tile_rays=131072)
     return scene, cam, opts
 
 

@@ -130,14 +130,24 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
             [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
                                     (n_pad - n_pix, 3))])
     dirs = dirs.reshape(-1, tile, 3)
-    orig = jnp.broadcast_to(camera.pos, (tile, 3))
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
 
-    def tile_fn(carry, tile_dirs):
-        rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays,
-                             tracer=tracer)
-        return carry + n, rad
+    if dirs.shape[0] == 1:
+        # single tile: skip the scan wrapper (simpler graph, faster compile)
+        rad, traced = render_rays(scene, orig, dirs[0], opts, count_rays,
+                                  tracer=tracer)
+    else:
+        def tile_fn(carry, tile_dirs):
+            rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays,
+                                 tracer=tracer)
+            return carry + n, rad
 
-    traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)
+        if opts.remat_tiles:
+            # recompute each tile's forward during backward instead of saving
+            # per-tile/per-bounce residuals (HBM: trade FLOPs for memory —
+            # backward at 1080p OOMs otherwise)
+            tile_fn = jax.checkpoint(tile_fn)
+        traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)
     img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(h, w, 3)
     return img, traced
 

@@ -36,15 +36,21 @@ class Timer:
         self.elapsed = time.perf_counter() - self.t0
 
 
-def timed(fn, *args, repeats: int = 3, inner: int = 8):
+def timed(fn, *args, repeats: int = 3, inner: int | None = None):
     """Best-of-N amortized wall time of fn(*args), post-warmup.
 
     Issues `inner` back-to-back dispatches and blocks once: robust against
     async-dispatch timing jitter (a single block_until_ready round-trip can
-    under- or over-state sub-ms kernels). No device→host readbacks.
+    under- or over-state sub-ms kernels). No device→host readbacks. `inner`
+    auto-scales so one repeat costs ~0.5 s (long kernels get inner=1).
     """
-    out = jax.block_until_ready(fn(*args))  # warmup/compile
-    best = float("inf")
+    jax.block_until_ready(fn(*args))  # compile
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))  # calibration run
+    t_cal = time.perf_counter() - t0
+    if inner is None:
+        inner = max(1, min(8, int(0.5 / max(t_cal, 1e-4))))
+    best = t_cal
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(inner):

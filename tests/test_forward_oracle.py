@@ -64,7 +64,9 @@ def test_tile_boundary_invariance():
     opts = dataclasses.replace(opts, width=40, height=24)
     a = np.asarray(render(scene, cam, dataclasses.replace(opts, tile_rays=960))[0])
     b = np.asarray(render(scene, cam, dataclasses.replace(opts, tile_rays=128))[0])
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    # single-tile (no scan) vs scan are different XLA programs → fp fusion
+    # differences of ~1e-5; semantics must agree to that level
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_ray_counting():
