@@ -4,46 +4,63 @@ Primary metric (BASELINE.json:2): rays/sec/chip, fwd+bwd, 1080p, 4-bounce.
 "vs_baseline" normalization: the driver-set north star is >1e9 rays/s fwd+bwd
 on a v5p-16 slice (8 chips) ⇒ per-chip fair share 1.25e8 rays/s. The reference
 itself publishes no numbers (BASELINE.json:13 "published": {}).
+
+Measurement discipline for this TPU stack (see memory/bench ordering notes):
+- the first device→host readback permanently degrades dispatch latency, so all
+  timing happens before any readback;
+- a backward program over ≳1.4M pixels triggers a libtpu kernel fault, so
+  gradients run as per-band microbatches, each its own jit program (identical
+  gradient: per-band squared-error sums divided by the global pixel count);
+- phases run in separate subprocesses (bench.py) so a device fault in one
+  phase cannot take down the others.
+
+CLI (used by bench.py): python -m benchmarks.rays_per_sec --phase time|count
 """
 
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import jax
+
+# persistent compile cache: remote TPU compiles of the big backward graphs
+# take minutes; cache them across processes/rounds
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from raytracer_tpu.models import presets
 from raytracer_tpu.renderer import render
-from raytracer_tpu.utils.profiling import timed
 
 NORTH_STAR_PER_CHIP = 1e9 / 8.0  # v5p-16 = 8 chips
+MAX_BWD_PIXELS = 700_000         # safe backward program size on this stack
 
 
 def _grad_params(scene):
+    # config-5 parameter classes (BASELINE: "sphere positions + albedos")
     return {
-        "center": scene.spheres.center,
-        "radius": scene.spheres.radius,
-        "albedo": scene.materials.albedo,
-        "light_pos": scene.lights.pos,
-        "light_int": scene.lights.intensity,
+        "center": jnp.asarray(scene.spheres.center),
+        "albedo": jnp.asarray(scene.materials.albedo),
     }
 
 
 def _with_params(scene, p):
     return scene.replace(
-        spheres=dataclasses.replace(scene.spheres, center=p["center"],
-                                    radius=p["radius"]),
+        spheres=dataclasses.replace(scene.spheres, center=p["center"]),
         materials=dataclasses.replace(scene.materials, albedo=p["albedo"]),
-        lights=dataclasses.replace(scene.lights, pos=p["light_pos"],
-                                   intensity=p["light_int"]),
     )
 
 
-def run_bench(config: str = "config4", repeats: int = 3, fwd_bwd: bool = True,
-              width: int | None = None, height: int | None = None,
-              max_depth: int | None = None, emit_json: bool = True,
-              use_grid: bool | None = None, tile_rays: int | None = None):
+def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
+           use_grid=None):
     scene, cam, opts = presets.PRESETS[config]()
     if width:
         opts = dataclasses.replace(opts, width=width, height=height or width)
@@ -51,57 +68,165 @@ def run_bench(config: str = "config4", repeats: int = 3, fwd_bwd: bool = True,
         opts = dataclasses.replace(opts, max_depth=max_depth)
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
-
     tracer = None
     if use_grid or (use_grid is None and scene.meshes.count):
         from raytracer_tpu.accel.grid import GridTracer
 
         tracer = GridTracer.build(scene)
-
-    # IMPORTANT ordering: on this TPU stack the first device→host readback
-    # permanently degrades per-dispatch latency (~25 ms) for the rest of the
-    # process. All timing runs first (block_until_ready only, no readbacks);
-    # the data-dependent ray count is read back at the very end.
     scene, cam, tracer = jax.device_put((scene, cam, tracer))
+    return scene, cam, opts, tracer
 
-    fwd = jax.jit(lambda s, c, tr: render(s, c, opts, tracer=tr)[0])
-    img, t_fwd = timed(fwd, scene, cam, tracer, repeats=repeats)
 
-    t_bwd = None
+def _bands(opts):
+    n_pix = opts.width * opts.height
+    n_bands = max(1, -(-n_pix // MAX_BWD_PIXELS))
+    rows = opts.height // n_bands
+    out = []
+    r0 = 0
+    for b in range(n_bands):
+        rr = rows if b < n_bands - 1 else opts.height - r0
+        out.append((r0, rr))
+        r0 += rr
+    return out
+
+
+def _chained_time(call, repeats=2, k=6):
+    """Per-iteration seconds via the dependency-chain slope method.
+
+    `call(eps)` must thread eps (a scalar device array, always 0) into its
+    inputs so iteration i+1 data-depends on iteration i — the only timing the
+    axon async runtime can't misreport. Returns (last_output, per_iter_s).
+    """
+    zero = jnp.zeros(())
+    out = call(zero)
+    jax.block_until_ready(out)
+
+    def chain(n):
+        eps = zero
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(n):
+            o = call(eps)
+            eps = jax.tree.leaves(o)[0].ravel()[0] * 0.0
+        jax.block_until_ready(o)
+        return time.perf_counter() - t0, o
+
+    chain(1)  # warm dispatch path
+    t1 = min(chain(1)[0] for _ in range(repeats))
+    tk, o = chain(k)
+    for _ in range(repeats - 1):
+        tk = min(tk, chain(k)[0])
+    per = max((tk - t1) / (k - 1), 1e-9)
+    return o, per
+
+
+def phase_time(config, repeats=2, fwd_bwd=True, **kw):
+    scene, cam, opts, tracer = _setup(config, **kw)
+    n_pix = opts.width * opts.height
+
+    @jax.jit
+    def fwd(eps):
+        c = dataclasses.replace(cam, pos=cam.pos + eps)
+        return render(scene, c, opts, tracer=tracer)[0]
+
+    img, t_fwd = _chained_time(fwd, repeats=repeats)
+
+    out = {"config": config, "width": opts.width, "height": opts.height,
+           "max_depth": opts.max_depth, "fwd_s": t_fwd,
+           "device": str(jax.devices()[0])}
+
     if fwd_bwd:
-        target = img * 0.9  # any fixed target; forces full backward
-
-        def loss(p, s, c, timg, tr):
-            out = render(_with_params(s, p), c, opts, tracer=tr)[0]
-            return jnp.mean((out - timg) ** 2)
-
-        vg = jax.jit(jax.value_and_grad(loss))
+        target = img * 0.9
         p0 = _grad_params(scene)
-        (_, g), t_bwd = timed(lambda: vg(p0, scene, cam, target, tracer),
-                              repeats=repeats)
+        bands = _bands(opts)
+        vgs = []
+        for r0, rows in bands:
+            def band_loss(p, timg, r0=r0, rows=rows):
+                o = render(_with_params(scene, p), cam, opts, tracer=tracer,
+                           row0=r0, rows=rows)[0]
+                return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
+                    timg, r0, rows, 0)) ** 2) / (n_pix * 3)
 
-    # ---- readbacks only below this line ----
-    n_rays = float(jax.jit(
-        lambda s, c, tr: render(s, c, opts, count_rays=True, tracer=tr)[1])(
-            scene, cam, tracer))
-    fwd_rate = n_rays / t_fwd
-    results = {
-        "config": config, "width": opts.width, "height": opts.height,
-        "max_depth": opts.max_depth, "rays_per_frame": n_rays,
-        "fwd_s": t_fwd, "fwd_rays_per_sec": fwd_rate,
-        "device": str(jax.devices()[0]),
-    }
-    if t_bwd is not None:
-        results["fwd_bwd_s"] = t_bwd
-        results["fwd_bwd_rays_per_sec"] = n_rays / t_bwd
+            vgs.append(jax.jit(jax.value_and_grad(band_loss)))
 
-    rate = results.get("fwd_bwd_rays_per_sec", fwd_rate)
+        def step(eps):
+            p = jax.tree.map(lambda x: x + eps, p0)
+            val = jnp.zeros(())
+            g = None
+            for vg in vgs:
+                v, gb = vg(p, target)
+                val = val + v
+                g = gb if g is None else jax.tree.map(jnp.add, g, gb)
+            return val, g
+
+        try:
+            (val, g), t_bwd = _chained_time(step, repeats=repeats)
+            float(val)  # validation readback — async faults surface here
+            out["fwd_bwd_s"] = t_bwd
+            out["bwd_bands"] = len(vgs)
+        except Exception as e:
+            print(f"# fwd+bwd failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            out["fwd_bwd_error"] = type(e).__name__
+    return out
+
+
+def phase_count(config, **kw):
+    scene, cam, opts, tracer = _setup(config, **kw)
+    n = jax.jit(lambda s, c, tr: render(s, c, opts, count_rays=True,
+                                        tracer=tr)[1])(scene, cam, tracer)
+    return {"rays_per_frame": float(n)}
+
+
+def run_bench(config="config4", repeats=3, fwd_bwd=True, emit_json=True, **kw):
+    """Single-process convenience path (CPU tests); bench.py uses subprocesses."""
+    res = phase_time(config, repeats=repeats, fwd_bwd=fwd_bwd, **kw)
+    res.update(phase_count(config, **kw))
+    _finish(res, emit_json)
+    return res
+
+
+def _finish(res, emit_json):
+    n_rays = res["rays_per_frame"]
+    res["fwd_rays_per_sec"] = n_rays / res["fwd_s"]
+    if "fwd_bwd_s" in res:
+        res["fwd_bwd_rays_per_sec"] = n_rays / res["fwd_bwd_s"]
+    rate = res.get("fwd_bwd_rays_per_sec", res["fwd_rays_per_sec"])
     if emit_json:
+        kind = "fwd_bwd" if "fwd_bwd_s" in res else "fwd"
         print(json.dumps({
-            "metric": f"rays_per_sec_per_chip_fwd{'_bwd' if fwd_bwd else ''}"
-                      f"_{opts.width}x{opts.height}_d{opts.max_depth}_{config}",
+            "metric": f"rays_per_sec_per_chip_{kind}_"
+                      f"{res['width']}x{res['height']}_d{res['max_depth']}_"
+                      f"{res['config']}",
             "value": rate,
             "unit": "rays/s",
             "vs_baseline": rate / NORTH_STAR_PER_CHIP,
         }))
-    return results
+    return res
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["time", "count", "all"], default="all")
+    ap.add_argument("--config", default=os.environ.get("RT_BENCH_CONFIG",
+                                                       "config4"))
+    ap.add_argument("--repeats", type=int,
+                    default=int(os.environ.get("RT_BENCH_REPEATS", "3")))
+    ap.add_argument("--fwd-only", action="store_true")
+    args = ap.parse_args(argv)
+    if args.phase == "time":
+        print("PHASE_RESULT " + json.dumps(
+            phase_time(args.config, repeats=args.repeats,
+                       fwd_bwd=not args.fwd_only)))
+    elif args.phase == "count":
+        print("PHASE_RESULT " + json.dumps(phase_count(args.config)))
+    else:
+        run_bench(args.config, repeats=args.repeats,
+                  fwd_bwd=not args.fwd_only)
+
+
+if __name__ == "__main__":
+    main()

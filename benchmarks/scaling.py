@@ -1,0 +1,72 @@
+"""Multi-device scaling benchmark (SURVEY.md §6: rays/s at 1/N devices,
+scaling efficiency vs the ≥85% target).
+
+On this box the mesh is the 8-device CPU simulator (functional check of the
+harness); on a real pod slice the same code measures ICI scaling. Usage:
+
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m benchmarks.scaling
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+
+
+def run_scaling(config: str = "config2", width: int = 256, height: int = 256,
+                max_depth: int = 2, device_counts=None, prims: int = 1,
+                ring: bool = False, repeats: int = 3):
+    from raytracer_tpu.models import presets
+    from raytracer_tpu.parallel.mesh import make_rt_mesh
+    from raytracer_tpu.parallel.shard import render_sharded
+
+    scene, cam, opts = presets.PRESETS[config]()
+    opts = dataclasses.replace(opts, width=width, height=height,
+                               max_depth=max_depth,
+                               tile_rays=max(1024, width * height // 8))
+    n_dev = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+
+    results = []
+    for nd in device_counts:
+        p = prims if nd % max(prims, 1) == 0 and nd >= prims else 1
+        mesh = make_rt_mesh(tiles=nd // p, prims=p,
+                            devices=jax.devices()[:nd])
+        f = jax.jit(lambda s, c: render_sharded(s, c, opts, mesh, ring=ring)[0])
+        jax.block_until_ready(f(scene, cam))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(scene, cam))
+            best = min(best, time.perf_counter() - t0)
+        results.append({"devices": nd, "seconds": best,
+                        "pixrays_per_sec": width * height / best})
+
+    base = results[0]
+    for r in results:
+        ideal = base["pixrays_per_sec"] * r["devices"]
+        r["efficiency"] = r["pixrays_per_sec"] / ideal
+    return results
+
+
+def main():
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU-sim: expose 8 virtual devices (must precede backend init)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    res = run_scaling()
+    for r in res:
+        print(json.dumps(r))
+    if len(res) > 1:
+        eff = res[-1]["efficiency"]
+        print(f"# {res[-1]['devices']}-device efficiency: {eff:.1%}",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

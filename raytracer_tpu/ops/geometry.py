@@ -139,19 +139,23 @@ def spawn_origin(p, n, out_dir, bias):
     return p + side[..., None] * bias * n
 
 
-def raygen(cam_pos, c2w, fov_deg, width, height, dtype=jnp.float32):
-    """Camera ray directions for the full image, row-major. → ([N,3] dirs).
+def raygen(cam_pos, c2w, fov_deg, width, height, dtype=jnp.float32,
+           row0: int = 0, rows: int | None = None):
+    """Camera ray directions, row-major. → ([rows·width, 3] dirs).
 
     Reference analog: the `render()` prologue NDC→screen mapping (SURVEY §3.1).
+    `row0`/`rows` select a horizontal band (full-image projection unchanged) —
+    used for band-split rendering/gradient microbatching.
     """
-    scale = jnp.tan(jnp.deg2rad(fov_deg.astype(dtype) / 2.0))
+    rows = height if rows is None else rows
+    scale = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, dtype) / 2.0))
     aspect = dtype(width) / dtype(height)
-    i = (jnp.arange(width, dtype=dtype) + 0.5) / width    # cols
-    j = (jnp.arange(height, dtype=dtype) + 0.5) / height  # rows
+    i = (jnp.arange(width, dtype=dtype) + 0.5) / width                 # cols
+    j = (jnp.arange(row0, row0 + rows, dtype=dtype) + 0.5) / height    # rows
     x = (2.0 * i - 1.0) * aspect * scale                  # [W]
-    y = (1.0 - 2.0 * j) * scale                           # [H]
-    xx = jnp.broadcast_to(x[None, :], (height, width))
-    yy = jnp.broadcast_to(y[:, None], (height, width))
+    y = (1.0 - 2.0 * j) * scale                           # [rows]
+    xx = jnp.broadcast_to(x[None, :], (rows, width))
+    yy = jnp.broadcast_to(y[:, None], (rows, width))
     d_cam = jnp.stack([xx, yy, -jnp.ones_like(xx)], axis=-1).reshape(-1, 3)
     # explicit rotate (not @): TPU matmuls default to bf16 mantissa, which
     # shifts ray directions enough to flip ~2% of pixels vs the fp32 oracle

@@ -112,17 +112,22 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
 
 
 def render(scene: Scene, camera: Camera, opts: RenderOptions,
-           count_rays: bool = False, tracer=None):
-    """Full-image render → (image [H,W,3] in [0,1], rays_traced scalar).
+           count_rays: bool = False, tracer=None, row0: int = 0,
+           rows: int | None = None):
+    """Render → (image [rows,W,3] in [0,1], rays_traced scalar).
 
     Tiles the pixel stream into `opts.tile_rays`-ray wavefronts processed
     sequentially under `lax.scan` (bounded device memory at any resolution).
     `tracer` plugs in an alternate winner-search backend (accel.GridTracer,
     parallel tracers, Pallas) — build it outside jit from the concrete scene.
+    `row0`/`rows` render a horizontal band of the full-image projection
+    (band-split rendering / gradient microbatching); defaults = full image.
     """
     h, w = opts.height, opts.width
-    n_pix = h * w
-    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h)
+    rows = h if rows is None else rows
+    n_pix = rows * w
+    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
+                       row0=row0, rows=rows)
     tile = min(opts.tile_rays, _ceil_to(n_pix, 8))
     n_pad = _ceil_to(n_pix, tile)
     if n_pad != n_pix:
@@ -148,7 +153,7 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
             # backward at 1080p OOMs otherwise)
             tile_fn = jax.checkpoint(tile_fn)
         traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)
-    img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(h, w, 3)
+    img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(rows, w, 3)
     return img, traced
 
 
