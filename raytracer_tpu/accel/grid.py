@@ -90,20 +90,27 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     hi = np.clip(((tmax - bmin) / cell).astype(np.int64), 0,
                  np.array([nx - 1, ny - 1, nz - 1]))
 
-    ncells = nx * ny * nz
-    lists: list[list[int]] = [[] for _ in range(ncells)]
-    for i in range(t):
-        for cx in range(lo[i, 0], hi[i, 0] + 1):
-            for cy in range(lo[i, 1], hi[i, 1] + 1):
-                for cz in range(lo[i, 2], hi[i, 2] + 1):
-                    lists[(cx * ny + cy) * nz + cz].append(i)
+    from raytracer_tpu.utils.native import native_lib
 
-    cell_tris = np.full((ncells, capacity), t, np.int32)  # sentinel = t
-    overflow: set[int] = set()
-    for c, ids in enumerate(lists):
-        cell_tris[c, : min(len(ids), capacity)] = ids[:capacity]
-        overflow.update(ids[capacity:])
-    ov = np.asarray(sorted(overflow), np.int32)
+    lib = native_lib()
+    if lib is not None:
+        cell_tris, ov = lib.grid_build(verts.astype(np.float32), tris, bmin,
+                                       cell, (nx, ny, nz), capacity)
+    else:
+        ncells = nx * ny * nz
+        lists: list[list[int]] = [[] for _ in range(ncells)]
+        for i in range(t):
+            for cx in range(lo[i, 0], hi[i, 0] + 1):
+                for cy in range(lo[i, 1], hi[i, 1] + 1):
+                    for cz in range(lo[i, 2], hi[i, 2] + 1):
+                        lists[(cx * ny + cy) * nz + cz].append(i)
+
+        cell_tris = np.full((ncells, capacity), t, np.int32)  # sentinel = t
+        overflow: set[int] = set()
+        for c, ids in enumerate(lists):
+            cell_tris[c, : min(len(ids), capacity)] = ids[:capacity]
+            overflow.update(ids[capacity:])
+        ov = np.asarray(sorted(overflow), np.int32)
     ov_v0 = v0[ov].astype(np.float32) if len(ov) else np.zeros((0, 3), np.float32)
     ov_e1 = ((v1 - v0)[ov].astype(np.float32) if len(ov)
              else np.zeros((0, 3), np.float32))

@@ -32,6 +32,18 @@ class _NativeLib:
         ]
         self._c.rt_free.restype = None
         self._c.rt_free.argtypes = [ctypes.c_void_p]
+        self._c.rt_grid_build.restype = ctypes.c_int
+        self._c.rt_grid_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,    # verts, nv
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,      # tris, nt
+            ctypes.POINTER(ctypes.c_double),                  # bmin[3]
+            ctypes.POINTER(ctypes.c_double),                  # cell[3]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,         # nx ny nz
+            ctypes.c_int,                                     # capacity
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # cell_tris
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # overflow
+            ctypes.POINTER(ctypes.c_int),                     # n_overflow
+        ]
 
     def load_obj(self, path: str):
         vp = ctypes.POINTER(ctypes.c_float)()
@@ -55,8 +67,32 @@ class _NativeLib:
                 self._c.rt_free(ctypes.cast(p, ctypes.c_void_p))
         return verts.astype(np.float32), tris.astype(np.int32), normals
 
-    def grid_build(self, *a, **kw):
-        raise NotImplementedError
+    def grid_build(self, verts, tris, bmin, cell, res, capacity):
+        """→ (cell_tris [ncells, capacity] i32, overflow [O] i32)."""
+        verts = np.ascontiguousarray(verts, np.float32)
+        tris = np.ascontiguousarray(tris, np.int32)
+        bmin = np.ascontiguousarray(bmin, np.float64)
+        cell = np.ascontiguousarray(cell, np.float64)
+        ct = ctypes.POINTER(ctypes.c_int)()
+        ov = ctypes.POINTER(ctypes.c_int)()
+        nov = ctypes.c_int()
+        rc = self._c.rt_grid_build(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            verts.shape[0],
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), tris.shape[0],
+            bmin.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cell.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            res[0], res[1], res[2], capacity,
+            ctypes.byref(ct), ctypes.byref(ov), ctypes.byref(nov))
+        if rc != 0:
+            raise MemoryError("rt_grid_build failed")
+        ncells = res[0] * res[1] * res[2]
+        cell_tris = np.ctypeslib.as_array(ct, (ncells, capacity)).copy()
+        overflow = (np.ctypeslib.as_array(ov, (nov.value,)).copy()
+                    if nov.value else np.zeros((0,), np.int32))
+        self._c.rt_free(ctypes.cast(ct, ctypes.c_void_p))
+        self._c.rt_free(ctypes.cast(ov, ctypes.c_void_p))
+        return cell_tris, overflow
 
 
 def native_lib():

@@ -176,3 +176,22 @@ def test_inverse_rendering_converges():
     cerr = np.abs(np.asarray(params["center"])
                   - np.asarray(target.spheres.center)).max()
     assert cerr < 0.12, cerr
+
+
+def test_grad_camera_params():
+    """Pixel loss → camera pos/fov (bonus differentiable params)."""
+    init, target, cam, opts = presets.config5_inverse()
+    opts = dataclasses.replace(opts, width=RES, height=RES)
+    timg = render(target, cam, opts)[0]
+
+    def loss(pos, fov):
+        c = dataclasses.replace(cam, pos=pos, fov_deg=fov)
+        return jnp.mean((render(init, c, opts)[0] - timg) ** 2)
+
+    pos0 = jnp.asarray(cam.pos)
+    fov0 = jnp.asarray(cam.fov_deg)
+    gp, gf = jax.grad(loss, argnums=(0, 1))(pos0, fov0)
+    assert not np.isnan(np.asarray(gp)).any() and not np.isnan(float(gf))
+    eps = 1e-3
+    fd = (float(loss(pos0, fov0 + eps)) - float(loss(pos0, fov0 - eps))) / (2 * eps)
+    assert float(gf) == pytest.approx(fd, rel=0.05, abs=5e-5)
