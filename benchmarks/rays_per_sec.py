@@ -41,7 +41,10 @@ from raytracer_tpu.models import presets
 from raytracer_tpu.renderer import render
 
 NORTH_STAR_PER_CHIP = 1e9 / 8.0  # v5p-16 = 8 chips
-MAX_BWD_PIXELS = 700_000         # safe backward program size on this stack
+# Backward-program size budget in pixel×bounce-round units: measured fault
+# boundary on this stack is between 3.5M (ok) and 3.9M (kernel fault);
+# forward has no such limit. Bands are sized to depth-scaled fractions of it.
+BWD_UNIT_BUDGET = 3_200_000
 
 
 def _grad_params(scene):
@@ -79,7 +82,8 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
 
 def _bands(opts):
     n_pix = opts.width * opts.height
-    n_bands = max(1, -(-n_pix // MAX_BWD_PIXELS))
+    max_pix = max(1, BWD_UNIT_BUDGET // (opts.max_depth + 1))
+    n_bands = max(1, -(-n_pix // max_pix))
     rows = opts.height // n_bands
     out = []
     r0 = 0
@@ -139,10 +143,13 @@ def phase_time(config, repeats=2, fwd_bwd=True, **kw):
         target = img * 0.9
         p0 = _grad_params(scene)
         bands = _bands(opts)
+        # bands are already sized under the backward budget; per-tile remat is
+        # unnecessary there and untested at band scale on this stack
+        opts_b = dataclasses.replace(opts, remat_tiles=False)
         vgs = []
         for r0, rows in bands:
             def band_loss(p, timg, r0=r0, rows=rows):
-                o = render(_with_params(scene, p), cam, opts, tracer=tracer,
+                o = render(_with_params(scene, p), cam, opts_b, tracer=tracer,
                            row0=r0, rows=rows)[0]
                 return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
                     timg, r0, rows, 0)) ** 2) / (n_pix * 3)
