@@ -124,9 +124,8 @@ def _chained_time(call, repeats=2, k=6):
     return o, per
 
 
-def phase_time(config, repeats=2, fwd_bwd=True, **kw):
+def phase_fwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
-    n_pix = opts.width * opts.height
 
     @jax.jit
     def fwd(eps):
@@ -134,43 +133,54 @@ def phase_time(config, repeats=2, fwd_bwd=True, **kw):
         return render(scene, c, opts, tracer=tracer)[0]
 
     img, t_fwd = _chained_time(fwd, repeats=repeats)
+    float(img[0, 0, 0])  # validation readback — async faults surface here
+    return {"config": config, "width": opts.width, "height": opts.height,
+            "max_depth": opts.max_depth, "fwd_s": t_fwd,
+            "device": str(jax.devices()[0])}
 
-    out = {"config": config, "width": opts.width, "height": opts.height,
-           "max_depth": opts.max_depth, "fwd_s": t_fwd,
-           "device": str(jax.devices()[0])}
 
+def phase_bwd(config, repeats=2, **kw):
+    scene, cam, opts, tracer = _setup(config, **kw)
+    n_pix = opts.width * opts.height
+
+    fwd = jax.jit(lambda: render(scene, cam, opts, tracer=tracer)[0])
+    target = fwd() * 0.9
+    p0 = _grad_params(scene)
+    bands = _bands(opts)
+    # bands are already sized under the backward budget; per-tile remat is
+    # unnecessary there and untested at band scale on this stack
+    opts_b = dataclasses.replace(opts, remat_tiles=False)
+    vgs = []
+    for r0, rows in bands:
+        def band_loss(p, timg, r0=r0, rows=rows):
+            o = render(_with_params(scene, p), cam, opts_b, tracer=tracer,
+                       row0=r0, rows=rows)[0]
+            return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
+                timg, r0, rows, 0)) ** 2) / (n_pix * 3)
+
+        vgs.append(jax.jit(jax.value_and_grad(band_loss)))
+
+    def step(eps):
+        p = jax.tree.map(lambda x: x + eps, p0)
+        val = jnp.zeros(())
+        g = None
+        for vg in vgs:
+            v, gb = vg(p, target)
+            val = val + v
+            g = gb if g is None else jax.tree.map(jnp.add, g, gb)
+        return val, g
+
+    (val, g), t_bwd = _chained_time(step, repeats=repeats)
+    float(val)  # validation readback — async faults surface here
+    return {"fwd_bwd_s": t_bwd, "bwd_bands": len(vgs)}
+
+
+def phase_time(config, repeats=2, fwd_bwd=True, **kw):
+    """Single-process fwd(+bwd) timing (CPU/convenience path)."""
+    out = phase_fwd(config, repeats=repeats, **kw)
     if fwd_bwd:
-        target = img * 0.9
-        p0 = _grad_params(scene)
-        bands = _bands(opts)
-        # bands are already sized under the backward budget; per-tile remat is
-        # unnecessary there and untested at band scale on this stack
-        opts_b = dataclasses.replace(opts, remat_tiles=False)
-        vgs = []
-        for r0, rows in bands:
-            def band_loss(p, timg, r0=r0, rows=rows):
-                o = render(_with_params(scene, p), cam, opts_b, tracer=tracer,
-                           row0=r0, rows=rows)[0]
-                return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
-                    timg, r0, rows, 0)) ** 2) / (n_pix * 3)
-
-            vgs.append(jax.jit(jax.value_and_grad(band_loss)))
-
-        def step(eps):
-            p = jax.tree.map(lambda x: x + eps, p0)
-            val = jnp.zeros(())
-            g = None
-            for vg in vgs:
-                v, gb = vg(p, target)
-                val = val + v
-                g = gb if g is None else jax.tree.map(jnp.add, g, gb)
-            return val, g
-
         try:
-            (val, g), t_bwd = _chained_time(step, repeats=repeats)
-            float(val)  # validation readback — async faults surface here
-            out["fwd_bwd_s"] = t_bwd
-            out["bwd_bands"] = len(vgs)
+            out.update(phase_bwd(config, repeats=repeats, **kw))
         except Exception as e:
             print(f"# fwd+bwd failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -217,14 +227,25 @@ def main(argv=None):
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["time", "count", "all"], default="all")
+    ap.add_argument("--phase", default="all",
+                    choices=["fwd", "bwd", "count", "probe", "time", "all"])
     ap.add_argument("--config", default=os.environ.get("RT_BENCH_CONFIG",
                                                        "config4"))
     ap.add_argument("--repeats", type=int,
                     default=int(os.environ.get("RT_BENCH_REPEATS", "3")))
     ap.add_argument("--fwd-only", action="store_true")
     args = ap.parse_args(argv)
-    if args.phase == "time":
+    if args.phase == "probe":
+        x = jax.jit(lambda a: (a * 2).sum())(jnp.ones(8192))
+        assert float(x) == 16384.0
+        print("PHASE_RESULT " + json.dumps({"ok": True}))
+    elif args.phase == "fwd":
+        print("PHASE_RESULT " + json.dumps(
+            phase_fwd(args.config, repeats=args.repeats)))
+    elif args.phase == "bwd":
+        print("PHASE_RESULT " + json.dumps(
+            phase_bwd(args.config, repeats=args.repeats)))
+    elif args.phase == "time":
         print("PHASE_RESULT " + json.dumps(
             phase_time(args.config, repeats=args.repeats,
                        fwd_bwd=not args.fwd_only)))

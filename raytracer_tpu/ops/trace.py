@@ -17,7 +17,6 @@ TPU-first design (SURVEY.md §7.1/§7.3.3):
 """
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,24 +29,22 @@ from raytracer_tpu.ops.safemath import cross, dot, normalize, safe_div
 INF = jnp.inf
 
 
-def _pad_tris(v0, e1, e2, extra, chunk):
-    """Pad triangle SoA (+per-tri extras) to a multiple of `chunk` with degenerate
-    (zero) triangles — det==0 ⇒ always a miss, so padding is semantically inert."""
+def _pad_tris(v0, e1, e2, chunk):
+    """Pad triangle SoA to a multiple of `chunk` with degenerate (zero)
+    triangles — det==0 ⇒ always a miss, so padding is semantically inert."""
     t = v0.shape[0]
     padded = -(-max(t, 1) // chunk) * chunk
     pad = padded - t
     if pad:
         z = jnp.zeros((pad, 3), v0.dtype)
         v0, e1, e2 = (jnp.concatenate([a, z]) for a in (v0, e1, e2))
-        extra = [jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-                 for a in extra]
-    return v0, e1, e2, extra
+    return v0, e1, e2
 
 
 def _scan_tri_nearest(orig, direc, v0, e1, e2, t_min, chunk):
     """Streaming min-reduce over triangle chunks → (best_t, best_i) per ray."""
     n = orig.shape[0]
-    v0, e1, e2, _ = _pad_tris(v0, e1, e2, [], chunk)
+    v0, e1, e2 = _pad_tris(v0, e1, e2, chunk)
     k = v0.shape[0] // chunk
     v0c = v0.reshape(k, chunk, 3)
     e1c = e1.reshape(k, chunk, 3)
@@ -71,7 +68,7 @@ def _scan_tri_nearest(orig, direc, v0, e1, e2, t_min, chunk):
 def _scan_tri_occluded(orig, direc, v0, e1, e2, t_min, max_t, chunk):
     """Streaming any-hit over triangle chunks → bool [N]."""
     n = orig.shape[0]
-    v0, e1, e2, _ = _pad_tris(v0, e1, e2, [], chunk)
+    v0, e1, e2 = _pad_tris(v0, e1, e2, chunk)
     k = v0.shape[0] // chunk
 
     def body(carry, chunk_in):
@@ -186,10 +183,6 @@ jax.tree_util.register_dataclass(
     data_fields=["valid", "t", "p", "n", "albedo", "mtype", "kd", "ks",
                  "spec_n", "ior"],
     meta_fields=[])
-
-
-_CHECKER_C1 = jnp.array([0.815, 0.235, 0.031], jnp.float32)
-_CHECKER_C2 = jnp.array([0.937, 0.937, 0.231], jnp.float32)
 
 
 def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:

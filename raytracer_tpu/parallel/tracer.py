@@ -170,21 +170,6 @@ def _combine_gathered(t_all, kind_all, idx_all):
     return best
 
 
-class LocalTracer:
-    """Single-device search over the full scene (the default path)."""
-
-    def __init__(self, scene: Scene):
-        self._scene = scene
-
-    def nearest(self, orig, direc, t_min, tri_chunk):
-        return trace_ops.nearest_hit(self._scene, orig, direc, t_min,
-                                     tri_chunk)
-
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
-        return trace_ops.occluded(self._scene, orig, direc, max_t, t_min,
-                                  tri_chunk)
-
-
 class ShardTracer:
     """Primitive sharding (TP-analog): each device searches its shard of the
     padded TraceGeom; partial (t, kind, idx) all_gather + min-combine over the
