@@ -127,10 +127,15 @@ def _chained_time(call, repeats=2, k=6):
 def phase_fwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
 
+    # scene/camera/tracer as explicit jit ARGS (large closure constants get
+    # embedded into the executable and have miscompiled on this stack)
     @jax.jit
+    def fwd_impl(eps, s, c, tr):
+        c2 = dataclasses.replace(c, pos=c.pos + eps)
+        return render(s, c2, opts, tracer=tr)[0]
+
     def fwd(eps):
-        c = dataclasses.replace(cam, pos=cam.pos + eps)
-        return render(scene, c, opts, tracer=tracer)[0]
+        return fwd_impl(eps, scene, cam, tracer)
 
     img, t_fwd = _chained_time(fwd, repeats=repeats)
     float(img[0, 0, 0])  # validation readback — async faults surface here
@@ -152,8 +157,8 @@ def phase_bwd(config, repeats=2, **kw):
     opts_b = dataclasses.replace(opts, remat_tiles=False)
     vgs = []
     for r0, rows in bands:
-        def band_loss(p, timg, r0=r0, rows=rows):
-            o = render(_with_params(scene, p), cam, opts_b, tracer=tracer,
+        def band_loss(p, s, c, timg, tr, r0=r0, rows=rows):
+            o = render(_with_params(s, p), c, opts_b, tracer=tr,
                        row0=r0, rows=rows)[0]
             return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
                 timg, r0, rows, 0)) ** 2) / (n_pix * 3)
@@ -165,7 +170,7 @@ def phase_bwd(config, repeats=2, **kw):
         val = jnp.zeros(())
         g = None
         for vg in vgs:
-            v, gb = vg(p, target)
+            v, gb = vg(p, scene, cam, target, tracer)
             val = val + v
             g = gb if g is None else jax.tree.map(jnp.add, g, gb)
         return val, g
@@ -234,23 +239,32 @@ def main(argv=None):
     ap.add_argument("--repeats", type=int,
                     default=int(os.environ.get("RT_BENCH_REPEATS", "3")))
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--depth", type=int, default=-1)
     args = ap.parse_args(argv)
+    kw = {}
+    if args.width:
+        kw["width"] = args.width
+        kw["height"] = args.height or args.width
+    if args.depth >= 0:
+        kw["max_depth"] = args.depth
     if args.phase == "probe":
         x = jax.jit(lambda a: (a * 2).sum())(jnp.ones(8192))
         assert float(x) == 16384.0
         print("PHASE_RESULT " + json.dumps({"ok": True}))
     elif args.phase == "fwd":
         print("PHASE_RESULT " + json.dumps(
-            phase_fwd(args.config, repeats=args.repeats)))
+            phase_fwd(args.config, repeats=args.repeats, **kw)))
     elif args.phase == "bwd":
         print("PHASE_RESULT " + json.dumps(
-            phase_bwd(args.config, repeats=args.repeats)))
+            phase_bwd(args.config, repeats=args.repeats, **kw)))
     elif args.phase == "time":
         print("PHASE_RESULT " + json.dumps(
             phase_time(args.config, repeats=args.repeats,
                        fwd_bwd=not args.fwd_only)))
     elif args.phase == "count":
-        print("PHASE_RESULT " + json.dumps(phase_count(args.config)))
+        print("PHASE_RESULT " + json.dumps(phase_count(args.config, **kw)))
     else:
         run_bench(args.config, repeats=args.repeats,
                   fwd_bwd=not args.fwd_only)

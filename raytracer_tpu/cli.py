@@ -7,7 +7,6 @@
 
 import argparse
 import dataclasses
-import sys
 import time
 
 

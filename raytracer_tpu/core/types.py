@@ -10,7 +10,6 @@ works out of the box (inverse rendering, BASELINE.json config 5).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -114,10 +113,9 @@ class Planes:
 class Meshes:
     """Triangle soup (all meshes flattened). Reference analog: `TriangleMesh`.
 
-    Triangles are pre-expanded to v0/e1/e2 SoA for Möller–Trumbore: the index
-    buffer gather happens once on host, not per-ray on device. Vertex positions
-    `verts` stay the differentiable leaves; v0/e1/e2 are derived inside `prepared()`
-    each trace so gradients flow back to `verts` (config-5 inverse rendering).
+    Vertex positions `verts` are the differentiable leaves; `tri_soa()` derives
+    the Möller–Trumbore-ready (v0, e1, e2) arrays per trace so gradients flow
+    back to `verts` (inverse rendering over mesh geometry).
     """
 
     verts: jax.Array     # [V, 3] f32 — differentiable
