@@ -146,11 +146,15 @@ def _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min):
 
 
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
-              occlusion_max_t=None):
+              occlusion_max_t=None, fixed_steps: bool = False):
     """Vectorized DDA over all rays → (best_t [N], best_idx [N]).
 
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
     found (any-hit mode); best_t < max_t then means occluded.
+    `fixed_steps=True` runs a static-trip fori_loop instead of the
+    data-dependent while_loop (identical results; a robustness fallback for
+    runtimes that mishandle dynamic trip counts, at the cost of always
+    walking the worst-case step count).
     """
     n = orig.shape[0]
     nx, ny, nz = grid.res
@@ -230,7 +234,12 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
         return it + 1, cell, tmax, best_t, best_i, active
 
     state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)
-    _, _, _, best_t, best_i, _ = jax.lax.while_loop(cond, body, state)
+    if fixed_steps:
+        state = jax.lax.fori_loop(0, max_steps,
+                                  lambda _, s: body(s), state)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
+    _, _, _, best_t, best_i, _ = state
     return best_t, best_i
 
 
@@ -241,22 +250,28 @@ class GridTracer:
     resulting object is a pytree-of-arrays closure safe to pass through jit.
     """
 
-    def __init__(self, scene, grid: GridData):
+    def __init__(self, scene, grid: GridData, fixed_steps: bool | None = None):
+        import os
+
         from raytracer_tpu.core.types import as_jax
 
         self._scene = as_jax(scene)
         self._grid = grid
+        if fixed_steps is None:
+            fixed_steps = bool(os.environ.get("RT_GRID_FIXED_STEPS"))
+        self._fixed = fixed_steps
         v0, e1, e2 = self._scene.meshes.tri_soa()
         self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
                                            jnp.asarray(e1, jnp.float32),
                                            jnp.asarray(e2, jnp.float32)))
 
     @staticmethod
-    def build(scene, capacity: int = 16, res=None):
+    def build(scene, capacity: int = 16, res=None,
+              fixed_steps: bool | None = None):
         grid = build_grid(np.asarray(scene.meshes.verts),
                           np.asarray(scene.meshes.tris), res=res,
                           capacity=capacity)
-        return GridTracer(scene, grid)
+        return GridTracer(scene, grid, fixed_steps=fixed_steps)
 
     def nearest(self, orig, direc, t_min, tri_chunk):
         from raytracer_tpu.core.types import KIND_TRIANGLE
@@ -269,7 +284,8 @@ class GridTracer:
             self._scene.replace(meshes=_EMPTY_MESHES), orig, direc, t_min,
             tri_chunk)
         v0, e1, e2 = self._soa
-        tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min)
+        tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
+                           fixed_steps=self._fixed)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
@@ -286,7 +302,7 @@ class GridTracer:
                                  orig, direc, max_t, t_min, tri_chunk)
         v0, e1, e2 = self._soa
         tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                          occlusion_max_t=max_t)
+                          occlusion_max_t=max_t, fixed_steps=self._fixed)
         return occ | (tb < max_t)
 
 
@@ -296,14 +312,15 @@ _EMPTY_MESHES = _Meshes.empty()
 
 jax.tree_util.register_pytree_node(
     GridTracer,
-    lambda tr: ((tr._scene, tr._grid, tr._soa), None),
-    lambda aux, ch: _grid_tracer_unflatten(ch))
+    lambda tr: ((tr._scene, tr._grid, tr._soa), tr._fixed),
+    lambda aux, ch: _grid_tracer_unflatten(aux, ch))
 
 
-def _grid_tracer_unflatten(children):
+def _grid_tracer_unflatten(fixed, children):
     scene, grid, soa = children
     obj = GridTracer.__new__(GridTracer)
     obj._scene = scene
     obj._grid = grid
     obj._soa = soa
+    obj._fixed = fixed
     return obj
