@@ -127,31 +127,43 @@ def _chained_time(call, repeats=2, k=6):
 def phase_fwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
 
-    # scene/camera/tracer as explicit jit ARGS (large closure constants get
-    # embedded into the executable and have miscompiled on this stack)
-    @jax.jit
-    def fwd_impl(eps, s, c, tr):
-        c2 = dataclasses.replace(c, pos=c.pos + eps)
-        return render(s, c2, opts, tracer=tr)[0]
+    # The program-size budget applies to FORWARD grid programs too (verified:
+    # 960x540xd4 ok, 1440x810xd4 kernel-faults) — band-split the frame into
+    # one jit program per band; mesh-free scenes get a single band.
+    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
+    fns = []
+    for r0, rows in bands:
+        @jax.jit
+        def band_fwd(eps, s, c, tr, r0=r0, rows=rows):
+            c2 = dataclasses.replace(c, pos=c.pos + eps)
+            return render(s, c2, opts, tracer=tr, row0=r0, rows=rows)[0]
+
+        fns.append(band_fwd)
 
     def fwd(eps):
-        return fwd_impl(eps, scene, cam, tracer)
+        outs = [f(eps, scene, cam, tracer) for f in fns]
+        return outs[-1]  # chaining on the last band serializes the frame tail
 
     img, t_fwd = _chained_time(fwd, repeats=repeats)
     float(img[0, 0, 0])  # validation readback — async faults surface here
     return {"config": config, "width": opts.width, "height": opts.height,
             "max_depth": opts.max_depth, "fwd_s": t_fwd,
-            "device": str(jax.devices()[0])}
+            "fwd_bands": len(bands), "device": str(jax.devices()[0])}
 
 
 def phase_bwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
     n_pix = opts.width * opts.height
-
-    fwd = jax.jit(lambda: render(scene, cam, opts, tracer=tracer)[0])
-    target = fwd() * 0.9
-    p0 = _grad_params(scene)
     bands = _bands(opts)
+
+    # target rendered band-wise (full-frame grid programs exceed the budget)
+    tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
+        s, c, opts, tracer=tr, row0=r0, rows=rows)[0],
+        static_argnames=("r0", "rows"))
+    target = jnp.concatenate(
+        [tgt_fn(scene, cam, tracer, r0=r0, rows=rows) for r0, rows in bands],
+        axis=0) * 0.9
+    p0 = _grad_params(scene)
     # bands are already sized under the backward budget; per-tile remat is
     # unnecessary there and untested at band scale on this stack
     opts_b = dataclasses.replace(opts, remat_tiles=False)
@@ -195,9 +207,13 @@ def phase_time(config, repeats=2, fwd_bwd=True, **kw):
 
 def phase_count(config, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
-    n = jax.jit(lambda s, c, tr: render(s, c, opts, count_rays=True,
-                                        tracer=tr)[1])(scene, cam, tracer)
-    return {"rays_per_frame": float(n)}
+    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
+    f = jax.jit(lambda s, c, tr, r0, rows: render(
+        s, c, opts, count_rays=True, tracer=tr, row0=r0, rows=rows)[1],
+        static_argnames=("r0", "rows"))
+    n = sum(float(f(scene, cam, tracer, r0=r0, rows=rows))
+            for r0, rows in bands)
+    return {"rays_per_frame": n}
 
 
 def run_bench(config="config4", repeats=3, fwd_bwd=True, emit_json=True, **kw):
