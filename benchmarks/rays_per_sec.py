@@ -63,7 +63,7 @@ def _with_params(scene, p):
 
 
 def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
-           use_grid=None):
+           use_grid=None, tracer_kind=None):
     scene, cam, opts = presets.PRESETS[config]()
     if width:
         opts = dataclasses.replace(opts, width=width, height=height or width)
@@ -72,10 +72,18 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
     tracer = None
-    if use_grid or (use_grid is None and scene.meshes.count):
-        from raytracer_tpu.accel.grid import GridTracer
+    if tracer_kind is None:
+        tracer_kind = os.environ.get("RT_BENCH_TRACER", "grid")
+    if use_grid or (use_grid is None and scene.meshes.count
+                    and tracer_kind != "none"):
+        if tracer_kind == "bvh":
+            from raytracer_tpu.accel.bvh import BVHTracer
 
-        tracer = GridTracer.build(scene)
+            tracer = BVHTracer.build(scene)
+        else:
+            from raytracer_tpu.accel.grid import GridTracer
+
+            tracer = GridTracer.build(scene)
     scene, cam, tracer = jax.device_put((scene, cam, tracer))
     return scene, cam, opts, tracer
 

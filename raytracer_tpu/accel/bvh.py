@@ -1,0 +1,285 @@
+"""BVH acceleration: host SAH-lite build → threaded links → device stackless walk.
+
+Reference analog: the naive-grid/BVH traversal for big meshes (SURVEY.md §2.2
+"Accel grid/BVH", BASELINE config 4) — the BVH half of C10; `accel/grid.py` is
+the grid half. TPU-first shape (SURVEY §7.3.1: "BVH only if grid can't hit
+perf" — both are now first-class, selectable backends):
+
+- Host build (NumPy, cold path): median-split on the widest centroid axis,
+  fixed-capacity leaves (sentinel-padded) — every device array is static-shape.
+- **Threaded traversal, no stack.** Each node gets a `hit_link` (next node when
+  its AABB is hit) and a `miss_link` (escape when it isn't); traversal is a
+  `lax.while_loop` over a per-ray node pointer — no per-ray stacks, no dynamic
+  shapes, VPU-friendly gathers. Links are precomputed for all 8 ray-direction
+  octants so each ray walks near-child-first and the `best_t` slab pruning
+  actually prunes (the classic per-octant threaded BVH).
+- Inner nodes carry an all-sentinel leaf row, so every step is the same
+  branchless program: slab test → (masked) leaf triangle tests → link follow.
+- Legal under the framework's differentiation contract: the walk is integer-
+  only and stop-gradient; `ops/trace.surface_at` recomputes all continuous
+  quantities from the winning (kind, idx) residuals (docs/ARCH.md).
+
+Gradients: tree topology is frozen at build time (host, concrete arrays);
+vertex gradients flow through the winner recompute. Rebuild when vertices move
+materially (inverse-rendering loops rebuild per step, outside jit).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_tpu.accel.grid import _eval_tris, _pad_soa
+
+INF = jnp.inf
+
+
+@dataclasses.dataclass
+class BVHData:
+    """Device-side threaded-BVH tensors + static metadata."""
+
+    aabb_min: jax.Array   # [n_nodes, 3] f32
+    aabb_max: jax.Array   # [n_nodes, 3] f32
+    leaf_tris: jax.Array  # [n_nodes, C] i32 — triangle ids, sentinel = n_tris
+    hit_link: jax.Array   # [8 * n_nodes] i32 — next node on AABB hit
+    miss_link: jax.Array  # [8 * n_nodes] i32 — next node on AABB miss
+    n_nodes: int          # static; link sentinel value = n_nodes (walk done)
+    capacity: int         # static C
+    n_tris: int           # static leaf sentinel (= index of degenerate pad tri)
+
+
+jax.tree_util.register_dataclass(
+    BVHData,
+    data_fields=["aabb_min", "aabb_max", "leaf_tris", "hit_link", "miss_link"],
+    meta_fields=["n_nodes", "capacity", "n_tris"])
+
+
+def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
+    """Host-side build from concrete arrays (not traceable).
+
+    Median split on the widest centroid axis; leaves hold ≤ `leaf_size`
+    triangles. Produces per-octant hit/miss threading so the device walk
+    visits the near child first for any ray direction.
+    """
+    verts = np.asarray(verts, np.float64)
+    tris = np.asarray(tris, np.int64)
+    t = tris.shape[0]
+    assert t > 0, "BVH over empty mesh"
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    cent = (tmin + tmax) * 0.5
+
+    # --- recursive median split over an index permutation ------------------
+    aabb_min: list[np.ndarray] = []
+    aabb_max: list[np.ndarray] = []
+    left: list[int] = []
+    right: list[int] = []
+    axis: list[int] = []
+    leaf_rows: list[np.ndarray] = []
+    order = np.arange(t)
+
+    def alloc() -> int:
+        aabb_min.append(np.zeros(3))
+        aabb_max.append(np.zeros(3))
+        left.append(-1)
+        right.append(-1)
+        axis.append(0)
+        leaf_rows.append(np.full((leaf_size,), t, np.int32))
+        return len(aabb_min) - 1
+
+    # iterative DFS (explicit stack): deep meshes must not hit the Python
+    # recursion limit
+    root = alloc()
+    stack = [(root, 0, t)]
+    while stack:
+        node, lo, hi = stack.pop()
+        ids = order[lo:hi]
+        aabb_min[node] = tmin[ids].min(axis=0)
+        aabb_max[node] = tmax[ids].max(axis=0)
+        if hi - lo <= leaf_size:
+            leaf_rows[node][: hi - lo] = ids.astype(np.int32)
+            continue
+        c = cent[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        axis[node] = ax
+        # median split (argsort is stable → deterministic builds)
+        perm = np.argsort(c[:, ax], kind="stable")
+        order[lo:hi] = ids[perm]
+        mid = lo + (hi - lo) // 2
+        l, r = alloc(), alloc()
+        left[node], right[node] = l, r
+        stack.append((r, mid, hi))
+        stack.append((l, lo, mid))
+
+    n = len(aabb_min)
+    ax_arr = np.asarray(axis, np.int32)
+    l_arr = np.asarray(left, np.int32)
+    r_arr = np.asarray(right, np.int32)
+
+    # --- per-octant threading ---------------------------------------------
+    # Octant bit a of `o` is 1 when dir[a] < 0. At a node split on axis `a`,
+    # the near child is `left` (lower centroids) for positive dir, `right`
+    # for negative. hit_link descends near-first; miss_link escapes the
+    # subtree (DFS threading).
+    hit = np.full((8, n), n, np.int32)
+    miss = np.full((8, n), n, np.int32)
+    for o in range(8):
+        tstack = [(root, n)]
+        while tstack:
+            node, escape = tstack.pop()
+            if l_arr[node] < 0:  # leaf: after testing tris, go to escape
+                hit[o, node] = escape
+                miss[o, node] = escape
+                continue
+            bit = (o >> ax_arr[node]) & 1
+            near = l_arr[node] if bit == 0 else r_arr[node]
+            far = r_arr[node] if bit == 0 else l_arr[node]
+            hit[o, node] = near
+            miss[o, node] = escape
+            tstack.append((far, escape))
+            tstack.append((near, far))
+
+    return BVHData(
+        aabb_min=jnp.asarray(np.stack(aabb_min), jnp.float32),
+        aabb_max=jnp.asarray(np.stack(aabb_max), jnp.float32),
+        leaf_tris=jnp.asarray(np.stack(leaf_rows)),
+        hit_link=jnp.asarray(hit.reshape(-1)),
+        miss_link=jnp.asarray(miss.reshape(-1)),
+        n_nodes=n, capacity=leaf_size, n_tris=t)
+
+
+def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
+             occlusion_max_t=None):
+    """Stackless threaded walk over all rays → (best_t [N], best_idx [N]).
+
+    With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
+    found (any-hit mode); best_t < max_t then means occluded.
+    """
+    n_rays = orig.shape[0]
+    nn = bvh.n_nodes
+    v0p, e1p, e2p = _pad_soa(v0, e1, e2)
+
+    inv_d = jnp.where(jnp.abs(direc) > 1e-12, 1.0 / direc, 1e12)
+    octant = ((direc[:, 0] < 0).astype(jnp.int32)
+              | ((direc[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((direc[:, 2] < 0).astype(jnp.int32) << 2))
+    link_base = octant * nn
+
+    best_t = jnp.full((n_rays,), INF, jnp.float32)
+    best_i = jnp.full((n_rays,), bvh.n_tris, jnp.int32)
+    node = jnp.zeros((n_rays,), jnp.int32)  # root
+
+    if occlusion_max_t is not None:
+        prune = jnp.asarray(occlusion_max_t, jnp.float32)
+
+    def cond(state):
+        it, node, best_t, best_i = state
+        return jnp.any(node < nn) & (it < nn + 1)
+
+    def body(state):
+        it, node, best_t, best_i = state
+        active = node < nn
+        nc = jnp.minimum(node, nn - 1)
+        amin = bvh.aabb_min[nc]
+        amax = bvh.aabb_max[nc]
+        t0 = (amin - orig) * inv_d
+        t1 = (amax - orig) * inv_d
+        tn = jnp.maximum(jnp.minimum(t0, t1).max(axis=1), t_min)
+        tf = jnp.maximum(t0, t1).min(axis=1)
+        bound = prune if occlusion_max_t is not None else best_t
+        hit_box = active & (tn <= tf) & (tf > t_min) & (tn < bound)
+
+        tids = bvh.leaf_tris[nc]                       # [N, C]
+        ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        ts = jnp.where(hit_box[:, None], ts, INF)
+        tc = jnp.min(ts, axis=1)
+        ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
+                                 axis=1)[:, 0]
+        better = tc < best_t
+        best_t = jnp.where(better, tc, best_t)
+        best_i = jnp.where(better, ic, best_i)
+
+        nxt = jnp.where(hit_box, bvh.hit_link[link_base + nc],
+                        bvh.miss_link[link_base + nc])
+        if occlusion_max_t is not None:
+            nxt = jnp.where(best_t < prune, nn, nxt)   # park: occluded
+        node = jnp.where(active, nxt, node)
+        return it + 1, node, best_t, best_i
+
+    state = (jnp.zeros((), jnp.int32), node, best_t, best_i)
+    _, _, best_t, best_i = jax.lax.while_loop(cond, body, state)
+    return best_t, best_i
+
+
+class BVHTracer:
+    """Drop-in tracer: BVH-accelerated triangles + brute spheres/planes.
+
+    Mirrors accel.grid.GridTracer: build on host from a concrete scene
+    (`BVHTracer.build(scene)`); the result is a pytree-of-arrays closure safe
+    to pass through jit.
+    """
+
+    def __init__(self, scene, bvh: BVHData):
+        from raytracer_tpu.core.types import as_jax
+
+        self._scene = as_jax(scene)
+        self._bvh = bvh
+        v0, e1, e2 = self._scene.meshes.tri_soa()
+        self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
+                                           jnp.asarray(e1, jnp.float32),
+                                           jnp.asarray(e2, jnp.float32)))
+
+    @staticmethod
+    def build(scene, leaf_size: int = 8):
+        bvh = build_bvh(np.asarray(scene.meshes.verts),
+                        np.asarray(scene.meshes.tris), leaf_size=leaf_size)
+        return BVHTracer(scene, bvh)
+
+    def nearest(self, orig, direc, t_min, tri_chunk):
+        from raytracer_tpu.core.types import KIND_TRIANGLE
+        from raytracer_tpu.accel.grid import _EMPTY_MESHES
+        from raytracer_tpu.ops import trace as trace_ops
+
+        orig = jax.lax.stop_gradient(orig)
+        direc = jax.lax.stop_gradient(direc)
+        base = trace_ops.nearest_hit(
+            self._scene.replace(meshes=_EMPTY_MESHES), orig, direc, t_min,
+            tri_chunk)
+        v0, e1, e2 = self._soa
+        tb, ib = bvh_walk(self._bvh, v0, e1, e2, orig, direc, t_min)
+        better = tb < base.t
+        return trace_ops.Hit(
+            kind=jnp.where(better, KIND_TRIANGLE, base.kind),
+            idx=jnp.where(better, ib, base.idx),
+            t=jnp.where(better, tb, base.t))
+
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+        from raytracer_tpu.accel.grid import _EMPTY_MESHES
+        from raytracer_tpu.ops import trace as trace_ops
+
+        orig = jax.lax.stop_gradient(orig)
+        direc = jax.lax.stop_gradient(direc)
+        max_t = jax.lax.stop_gradient(max_t)
+        occ = trace_ops.occluded(self._scene.replace(meshes=_EMPTY_MESHES),
+                                 orig, direc, max_t, t_min, tri_chunk)
+        v0, e1, e2 = self._soa
+        tb, _ = bvh_walk(self._bvh, v0, e1, e2, orig, direc, t_min,
+                         occlusion_max_t=max_t)
+        return occ | (tb < max_t)
+
+
+jax.tree_util.register_pytree_node(
+    BVHTracer,
+    lambda tr: ((tr._scene, tr._bvh, tr._soa), None),
+    lambda aux, ch: _bvh_tracer_unflatten(aux, ch))
+
+
+def _bvh_tracer_unflatten(_aux, children):
+    scene, bvh, soa = children
+    obj = BVHTracer.__new__(BVHTracer)
+    obj._scene = scene
+    obj._bvh = bvh
+    obj._soa = soa
+    return obj

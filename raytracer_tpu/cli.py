@@ -24,10 +24,15 @@ def cmd_render(args):
     if args.max_depth is not None:
         opts = dataclasses.replace(opts, max_depth=args.max_depth)
     tracer = None
-    if args.grid and scene.meshes.count:
+    kind = "grid" if args.grid else args.tracer
+    if scene.meshes.count and kind in ("grid", "auto"):
         from raytracer_tpu.accel.grid import GridTracer
 
         tracer = GridTracer.build(scene)
+    elif scene.meshes.count and kind == "bvh":
+        from raytracer_tpu.accel.bvh import BVHTracer
+
+        tracer = BVHTracer.build(scene)
     t0 = time.perf_counter()
     img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
     img = np.asarray(img)
@@ -135,7 +140,11 @@ def main(argv=None):
     pr.add_argument("--height", type=int, default=0)
     pr.add_argument("--max-depth", type=int, default=None)
     pr.add_argument("--grid", action="store_true",
-                    help="uniform-grid acceleration for meshes")
+                    help="(deprecated) alias for --tracer grid")
+    pr.add_argument("--tracer", default="auto",
+                    choices=["auto", "none", "grid", "bvh"],
+                    help="mesh winner-search backend (auto = grid when the "
+                         "scene has triangles)")
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")

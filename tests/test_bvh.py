@@ -1,0 +1,163 @@
+"""Threaded-BVH acceleration: device stackless walk must reproduce brute force.
+
+SURVEY.md §2.2 "Accel grid/BVH" (the BVH half of C10) + §7.3.1. Same contract
+as tests/test_grid.py: any accel backend must agree with the default scan
+tracer up to exact-tie knife edges.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.accel.bvh import BVHTracer, build_bvh, bvh_walk
+from raytracer_tpu.core.types import Meshes
+from raytracer_tpu.io import meshgen
+from raytracer_tpu.models import presets
+from raytracer_tpu.renderer import render
+from tests.helpers import assert_images_close
+
+
+@pytest.fixture(scope="module")
+def mesh_scene():
+    scene, cam, opts = presets.config4_mesh(use_obj=False)
+    verts, tris = meshgen.bumpy_sphere(subdiv=3, radius=1.3)
+    normals = meshgen.vertex_normals(verts, tris)
+    verts = verts + np.array([0.0, -0.1, -5.5], np.float32)
+    scene = scene.replace(meshes=Meshes.build(
+        verts, tris, np.zeros((tris.shape[0],), np.int32), normals=normals))
+    opts = dataclasses.replace(opts, width=96, height=54, max_depth=2,
+                               tile_rays=2592)
+    return scene, cam, opts
+
+
+def _tri_soa(verts, tris):
+    v0 = jnp.asarray(verts[tris[:, 0]])
+    e1 = jnp.asarray(verts[tris[:, 1]] - verts[tris[:, 0]])
+    e2 = jnp.asarray(verts[tris[:, 2]] - verts[tris[:, 0]])
+    return v0, e1, e2
+
+
+def test_bvh_build_covers_all_tris(mesh_scene):
+    scene, _, _ = mesh_scene
+    b = build_bvh(np.asarray(scene.meshes.verts),
+                  np.asarray(scene.meshes.tris), leaf_size=8)
+    t = scene.meshes.count
+    in_leaves = set(np.asarray(b.leaf_tris).ravel().tolist()) - {t}
+    assert in_leaves == set(range(t))
+    # threading invariant: every link lands in [0, n_nodes]
+    for lk in (b.hit_link, b.miss_link):
+        a = np.asarray(lk)
+        assert a.min() >= 0 and a.max() <= b.n_nodes
+
+
+def test_bvh_render_equals_brute(mesh_scene):
+    scene, cam, opts = mesh_scene
+    ref = np.asarray(render(scene, cam, opts)[0])
+    tr = BVHTracer.build(scene)
+    img = np.asarray(render(scene, cam, opts, tracer=tr)[0])
+    # exact-tie shared-edge hits may pick the other triangle → tiny pixel set
+    assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="bvh")
+
+
+def test_bvh_render_leaf1(mesh_scene):
+    """Degenerate leaves (1 tri each → deepest possible tree) must stay exact."""
+    scene, cam, opts = mesh_scene
+    ref = np.asarray(render(scene, cam, opts)[0])
+    tr = BVHTracer.build(scene, leaf_size=1)
+    img = np.asarray(render(scene, cam, opts, tracer=tr)[0])
+    assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="bvh-l1")
+
+
+def test_bvh_walk_unit_cases():
+    verts = np.array([[-1, -1, -3], [1, -1, -3], [0, 1, -3]], np.float32)
+    tris = np.array([[0, 1, 2]], np.int32)
+    b = build_bvh(verts, tris, leaf_size=4)
+    v0, e1, e2 = _tri_soa(verts, tris)
+
+    orig = jnp.asarray([[0.0, 0.0, 0.0],    # hit head-on
+                        [0.0, 0.0, -5.0],   # behind, shooting away
+                        [5.0, 5.0, 0.0],    # misses the root box
+                        [0.0, 0.0, -2.9]])  # origin inside the box
+    direc = jnp.asarray([[0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0],
+                         [0.0, 0.0, -1.0]])
+    t, i = bvh_walk(b, v0, e1, e2, orig, direc, 1e-4)
+    t = np.asarray(t)
+    assert t[0] == pytest.approx(3.0, abs=1e-5)
+    assert np.isinf(t[1])
+    assert np.isinf(t[2])
+    assert t[3] == pytest.approx(0.1, abs=1e-5)
+    assert int(i[0]) == 0
+
+
+def test_bvh_all_octants(mesh_scene):
+    """Nearest hit must be direction-order independent: fire the same rays
+    with all 8 sign combinations through the mesh and compare to brute."""
+    scene, _, _ = mesh_scene
+    from raytracer_tpu.ops.trace import _scan_tri_nearest
+
+    verts = np.asarray(scene.meshes.verts)
+    tris = np.asarray(scene.meshes.tris)
+    b = build_bvh(verts, tris, leaf_size=8)
+    v0, e1, e2 = _tri_soa(verts, tris)
+
+    rng = np.random.default_rng(11)
+    base_d = np.abs(rng.normal(size=(64, 3))) + 0.05
+    center = np.array([0.0, -0.1, -5.5])
+    for o in range(8):
+        sign = np.array([1 - 2 * ((o >> a) & 1) for a in range(3)])
+        d = base_d * sign
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        orig = center - d * 4.0  # aim through the mesh from outside
+        od = jnp.asarray(orig, jnp.float32), jnp.asarray(d, jnp.float32)
+        want_t, _ = _scan_tri_nearest(od[0], od[1], v0, e1, e2, 1e-4, 256)
+        got_t, _ = bvh_walk(b, v0, e1, e2, od[0], od[1], 1e-4)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_bvh_occlusion_matches_brute(mesh_scene):
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import trace as trace_ops
+
+    rng = np.random.default_rng(3)
+    orig = jnp.asarray(rng.normal(size=(256, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(256, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    max_t = jnp.full((256,), 4.0, jnp.float32)
+    want = trace_ops.occluded(scene, orig, d, max_t, 1e-4, 512)
+    tr = BVHTracer.build(scene)
+    got = tr.occluded(orig, d, max_t, 1e-4, 512)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bvh_gradients_match_brute(mesh_scene):
+    """Winner recompute is backend-independent: loss grads w.r.t. vertices and
+    material albedo must match the default tracer's."""
+    import jax
+
+    scene, cam, opts = mesh_scene
+    opts = dataclasses.replace(opts, width=48, height=27, tile_rays=1296,
+                               max_depth=1)
+    tr = BVHTracer.build(scene)
+
+    def loss(verts, albedo, tracer):
+        sc = scene.replace(
+            meshes=dataclasses.replace(scene.meshes, verts=verts),
+            materials=dataclasses.replace(scene.materials, albedo=albedo))
+        img, _ = render(sc, cam, opts, tracer=tracer)
+        return jnp.sum(img ** 2)
+
+    v = jnp.asarray(scene.meshes.verts, jnp.float32)
+    a = jnp.asarray(scene.materials.albedo, jnp.float32)
+    gv_ref, ga_ref = jax.grad(loss, argnums=(0, 1))(v, a, None)
+    gv_bvh, ga_bvh = jax.grad(loss, argnums=(0, 1))(v, a, tr)
+    np.testing.assert_allclose(np.asarray(ga_bvh), np.asarray(ga_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv_bvh), np.asarray(gv_ref),
+                               rtol=1e-3, atol=1e-5)
