@@ -44,7 +44,7 @@ NORTH_STAR_PER_CHIP = 1e9 / 8.0  # v5p-16 = 8 chips
 # Backward-program size budget in pixel×bounce-round units: measured fault
 # boundary on this stack is between 3.5M (ok) and 3.9M (kernel fault);
 # forward has no such limit. Bands are sized to depth-scaled fractions of it.
-BWD_UNIT_BUDGET = 3_200_000
+BWD_UNIT_BUDGET = int(os.environ.get("RT_BWD_UNIT_BUDGET", 3_200_000))
 
 
 def _grad_params(scene):
