@@ -62,10 +62,23 @@ def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
     triangles. Produces per-octant hit/miss threading so the device walk
     visits the near child first for any ray direction.
     """
+    from raytracer_tpu.utils.native import native_lib
+
+    t = np.asarray(tris).shape[0]
+    assert t > 0, "BVH over empty mesh"
+    lib = native_lib()
+    if lib is not None and lib.has_bvh:
+        amin, amax, leaf, hit, miss = lib.bvh_build(
+            np.asarray(verts, np.float32), np.asarray(tris, np.int32),
+            leaf_size)
+        return BVHData(
+            aabb_min=jnp.asarray(amin), aabb_max=jnp.asarray(amax),
+            leaf_tris=jnp.asarray(leaf), hit_link=jnp.asarray(hit),
+            miss_link=jnp.asarray(miss),
+            n_nodes=amin.shape[0], capacity=leaf_size, n_tris=t)
+
     verts = np.asarray(verts, np.float64)
     tris = np.asarray(tris, np.int64)
-    t = tris.shape[0]
-    assert t > 0, "BVH over empty mesh"
     v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)

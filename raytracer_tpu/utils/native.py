@@ -44,6 +44,23 @@ class _NativeLib:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # overflow
             ctypes.POINTER(ctypes.c_int),                     # n_overflow
         ]
+        # optional symbol: a librt_native.so built before bvhbuild.cpp existed
+        # must keep its other fast paths working
+        self.has_bvh = hasattr(self._c, "rt_bvh_build")
+        if not self.has_bvh:
+            return
+        self._c.rt_bvh_build.restype = ctypes.c_int
+        self._c.rt_bvh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,     # verts, nv
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,       # tris, nt
+            ctypes.c_int,                                     # leaf_size
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),   # aabb_min
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),   # aabb_max
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # leaf_tris
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # hit links
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # miss links
+            ctypes.POINTER(ctypes.c_int),                     # n_nodes
+        ]
 
     def load_obj(self, path: str):
         vp = ctypes.POINTER(ctypes.c_float)()
@@ -66,6 +83,36 @@ class _NativeLib:
             if p:
                 self._c.rt_free(ctypes.cast(p, ctypes.c_void_p))
         return verts.astype(np.float32), tris.astype(np.int32), normals
+
+    def bvh_build(self, verts, tris, leaf_size):
+        """→ (aabb_min [n,3] f32, aabb_max [n,3] f32, leaf_tris [n,leaf] i32,
+        hit [8n] i32, miss [8n] i32)."""
+        verts = np.ascontiguousarray(verts, np.float32)
+        tris = np.ascontiguousarray(tris, np.int32)
+        amin = ctypes.POINTER(ctypes.c_float)()
+        amax = ctypes.POINTER(ctypes.c_float)()
+        leaf = ctypes.POINTER(ctypes.c_int)()
+        hit = ctypes.POINTER(ctypes.c_int)()
+        miss = ctypes.POINTER(ctypes.c_int)()
+        n = ctypes.c_int()
+        rc = self._c.rt_bvh_build(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            verts.shape[0],
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), tris.shape[0],
+            leaf_size, ctypes.byref(amin), ctypes.byref(amax),
+            ctypes.byref(leaf), ctypes.byref(hit), ctypes.byref(miss),
+            ctypes.byref(n))
+        if rc != 0:
+            raise MemoryError(f"rt_bvh_build failed ({rc})")
+        nn = n.value
+        out = (np.ctypeslib.as_array(amin, (nn, 3)).copy(),
+               np.ctypeslib.as_array(amax, (nn, 3)).copy(),
+               np.ctypeslib.as_array(leaf, (nn, leaf_size)).copy(),
+               np.ctypeslib.as_array(hit, (8 * nn,)).copy(),
+               np.ctypeslib.as_array(miss, (8 * nn,)).copy())
+        for p in (amin, amax, leaf, hit, miss):
+            self._c.rt_free(ctypes.cast(p, ctypes.c_void_p))
+        return out
 
     def grid_build(self, verts, tris, bmin, cell, res, capacity):
         """→ (cell_tris [ncells, capacity] i32, overflow [O] i32)."""
