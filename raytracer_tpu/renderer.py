@@ -36,6 +36,75 @@ def _fold(x, n0):
     return x.reshape(-1, n0, x.shape[-1]).sum(axis=0)
 
 
+def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
+                is_last: bool, count_rays: bool = False, tracer=None):
+    """One wavefront bounce: trace + shade + spawn children.
+
+    `state` = (o, d, thr, alive) ray buffers (glass scenes double the buffer
+    length per bounce). Returns (terms, new_state, traced_inc): `terms` are
+    the per-pixel [n0,3] radiance contributions of this bounce in accumulation
+    order; `new_state` is the child wavefront (None when `is_last`);
+    `traced_inc` counts live trace lanes. This is the single copy of the
+    bounce physics — `render_rays` loops it, and parallel/overlap.py reverses
+    it bounce-by-bounce with per-bounce gradient psums.
+    """
+    o, d, thr, alive = state
+    bg = jnp.asarray(opts.background, jnp.float32)
+    if tracer is None:
+        hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk)
+    else:
+        hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk)
+    surf = surface_at(scene, o, d, hit, opts.t_min)
+    valid = surf.valid & alive
+    traced_inc = jnp.zeros((), jnp.float32)
+    if count_rays:
+        traced_inc = traced_inc + jnp.sum(alive.astype(jnp.float32))
+
+    # Leaves: miss → background
+    miss = alive & ~surf.valid
+    terms = [_fold(jnp.where(miss[:, None], thr * bg, 0.0), n0)]
+
+    # Leaves: diffuse hit → local Phong (branchless; masked after)
+    is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
+    local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
+                             opts.tri_chunk, tracer=tracer)
+    terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0))
+    if count_rays:
+        traced_inc = traced_inc + jnp.sum(is_diff.astype(jnp.float32)) \
+            * scene.lights.count
+
+    # Specular branches
+    is_mirror = valid & (surf.mtype == REFLECTION)
+    is_glass = valid & (surf.mtype == REFLECTION_AND_REFRACTION)
+    spec = is_mirror | is_glass
+    kr = geom.fresnel(d, surf.n, surf.ior)
+
+    if is_last:
+        # Children would exceed max_depth → each returns background
+        # immediately: mirror contributes kr·bg, glass kr·bg + (1−kr)·bg
+        # (kr==1 exactly on TIR, so glass always totals 1·bg).
+        w = jnp.where(is_mirror, kr, jnp.where(is_glass, 1.0, 0.0))
+        terms.append(_fold(thr * w[:, None] * bg, n0))
+        return terms, None, traced_inc
+
+    rdir = normalize(geom.reflect(d, surf.n))
+    rorig = geom.spawn_origin(surf.p, surf.n, rdir, opts.bias)
+    thr_r = jnp.where(spec[:, None], thr * kr[:, None], 0.0)
+    if scene.has_glass:
+        tdir, t_ok = geom.refract(d, surf.n, surf.ior)
+        tdir = normalize(tdir, valid=t_ok)
+        torig = geom.spawn_origin(surf.p, surf.n, tdir, opts.bias)
+        alive_t = is_glass & t_ok
+        thr_t = jnp.where(alive_t[:, None], thr * (1.0 - kr[:, None]), 0.0)
+        new_state = (jnp.concatenate([rorig, torig]),
+                     jnp.concatenate([rdir, tdir]),
+                     jnp.concatenate([thr_r, thr_t]),
+                     jnp.concatenate([spec, alive_t]))
+    else:
+        new_state = (rorig, rdir, thr_r, spec)
+    return terms, new_state, traced_inc
+
+
 def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
                 count_rays: bool = False, tracer=None):
     """Trace a wavefront of primary rays to radiance [N,3] (unclamped).
@@ -48,65 +117,18 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     """
     scene = _types_as_jax(scene)
     n0 = orig.shape[0]
-    bg = jnp.asarray(opts.background, jnp.float32)
     radiance = jnp.zeros((n0, 3), jnp.float32)
-    thr = jnp.ones((n0, 3), jnp.float32)
-    alive = jnp.ones((n0,), bool)
-    o, d = orig, direc
+    state = (orig, direc, jnp.ones((n0, 3), jnp.float32),
+             jnp.ones((n0,), bool))
     traced = jnp.zeros((), jnp.float32)
 
     for depth in range(opts.max_depth + 1):
-        if tracer is None:
-            hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk)
-        else:
-            hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk)
-        surf = surface_at(scene, o, d, hit, opts.t_min)
-        valid = surf.valid & alive
-        if count_rays:
-            traced = traced + jnp.sum(alive.astype(jnp.float32))
-
-        # Leaves: miss → background
-        miss = alive & ~surf.valid
-        radiance = radiance + _fold(jnp.where(miss[:, None], thr * bg, 0.0), n0)
-
-        # Leaves: diffuse hit → local Phong (branchless; masked after)
-        is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
-        local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
-                                 opts.tri_chunk, tracer=tracer)
-        radiance = radiance + _fold(
-            jnp.where(is_diff[:, None], thr * local, 0.0), n0)
-        if count_rays:
-            traced = traced + jnp.sum(is_diff.astype(jnp.float32)) \
-                * scene.lights.count
-
-        # Specular branches
-        is_mirror = valid & (surf.mtype == REFLECTION)
-        is_glass = valid & (surf.mtype == REFLECTION_AND_REFRACTION)
-        spec = is_mirror | is_glass
-        kr = geom.fresnel(d, surf.n, surf.ior)
-
-        if depth == opts.max_depth:
-            # Children would exceed max_depth → each returns background
-            # immediately: mirror contributes kr·bg, glass kr·bg + (1−kr)·bg
-            # (kr==1 exactly on TIR, so glass always totals 1·bg).
-            w = jnp.where(is_mirror, kr, jnp.where(is_glass, 1.0, 0.0))
-            radiance = radiance + _fold(thr * w[:, None] * bg, n0)
-        else:
-            rdir = normalize(geom.reflect(d, surf.n))
-            rorig = geom.spawn_origin(surf.p, surf.n, rdir, opts.bias)
-            thr_r = jnp.where(spec[:, None], thr * kr[:, None], 0.0)
-            if scene.has_glass:
-                tdir, t_ok = geom.refract(d, surf.n, surf.ior)
-                tdir = normalize(tdir, valid=t_ok)
-                torig = geom.spawn_origin(surf.p, surf.n, tdir, opts.bias)
-                alive_t = is_glass & t_ok
-                thr_t = jnp.where(alive_t[:, None], thr * (1.0 - kr[:, None]), 0.0)
-                o = jnp.concatenate([rorig, torig])
-                d = jnp.concatenate([rdir, tdir])
-                thr = jnp.concatenate([thr_r, thr_t])
-                alive = jnp.concatenate([spec, alive_t])
-            else:
-                o, d, thr, alive = rorig, rdir, thr_r, spec
+        terms, state, inc = bounce_step(
+            scene, state, opts, n0, is_last=depth == opts.max_depth,
+            count_rays=count_rays, tracer=tracer)
+        for t in terms:
+            radiance = radiance + t
+        traced = traced + inc
 
     return radiance, traced
 
