@@ -52,13 +52,57 @@ def run_scaling(config: str = "config2", width: int = 256, height: int = 256,
     return results
 
 
+def run_grad_overlap(config: str = "config2", width: int = 128,
+                     height: int = 128, max_depth: int = 2, tiles: int = 4,
+                     prims: int = 2, repeats: int = 3):
+    """A/B the bounce-pipelined backward (per-bounce psum) vs the fused-psum
+    twin on the full device mesh (parallel/overlap.py). On the CPU sim this
+    is a functional timing smoke; on a pod slice it measures whether the
+    per-bounce allreduces actually overlap the backward compute."""
+    import numpy as np
+
+    from raytracer_tpu.models import presets
+    from raytracer_tpu.parallel.mesh import make_rt_mesh
+    from raytracer_tpu.parallel.overlap import make_loss_and_grad
+    from raytracer_tpu.parallel.shard import render_sharded
+
+    scene, cam, opts = presets.PRESETS[config]()
+    opts = dataclasses.replace(opts, width=width, height=height,
+                               max_depth=max_depth)
+    mesh = make_rt_mesh(tiles=tiles, prims=prims,
+                        devices=jax.devices()[:tiles * prims])
+    target = np.asarray(jax.jit(
+        lambda s, c: render_sharded(s, c, opts, mesh)[0])(scene, cam)) * 0.9
+
+    out = {}
+    for name, overlap in (("overlapped", True), ("fused", False)):
+        step = make_loss_and_grad(scene, cam, opts, mesh, overlap=overlap)
+        jax.block_until_ready(step(scene, target))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(scene, target))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    out["speedup"] = out["fused"] / out["overlapped"]
+    return out
+
+
 def main():
+    import argparse
     import os
 
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         # CPU-sim: expose 8 virtual devices (must precede backend init)
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad-overlap", action="store_true",
+                    help="A/B per-bounce-psum backward vs fused backward")
+    args = ap.parse_args()
+    if args.grad_overlap:
+        print(json.dumps(run_grad_overlap()))
+        return
     res = run_scaling()
     for r in res:
         print(json.dumps(r))

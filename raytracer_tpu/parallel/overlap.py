@@ -63,19 +63,30 @@ def float_partition(tree):
 def loss_and_grad_overlapped(scene: Scene, camera: Camera,
                              opts: RenderOptions, mesh, target,
                              ring: bool = False, overlap: bool = True):
-    """MSE(render(scene), target) + d/d(scene floats), per-bounce psums.
+    """One-shot convenience wrapper around `make_loss_and_grad` (compiles per
+    call — build the step once via the factory inside loops)."""
+    step = make_loss_and_grad(scene, camera, opts, mesh, ring=ring,
+                              overlap=overlap)
+    return step(scene, target)
 
-    → (loss, grad_scene): grad_scene is a Scene-shaped pytree (zeros for
-    non-float leaves). `overlap=False` runs the identical pipeline through
-    plain jax.value_and_grad (ONE fused end-of-backward psum) — the baseline
-    the per-bounce sweep is verified against and benchmarked on hardware.
-    The math matches parallel.shard.render_sharded gradients too, but
-    knife-edge pixels (horizon/silhouette rays whose winner flips on 1-ulp
-    raygen differences between separately compiled programs) make that
+
+def make_loss_and_grad(template: Scene, camera: Camera, opts: RenderOptions,
+                       mesh, ring: bool = False, overlap: bool = True):
+    """Build once → `step(scene, target) -> (loss, grad_scene)`, compiled on
+    first call and reused after (static layout — pytree structure, primitive
+    counts, mesh, opts — is taken from `template`; later scenes must match).
+
+    loss = MSE(render(scene), target); grad_scene is a Scene-shaped pytree
+    (zeros for non-float leaves). `overlap=False` runs the identical pipeline
+    through plain jax.value_and_grad (ONE fused end-of-backward psum) — the
+    baseline the per-bounce sweep is verified against and benchmarked on
+    hardware. The math matches parallel.shard.render_sharded gradients too,
+    but knife-edge pixels (horizon/silhouette rays whose winner flips on
+    1-ulp raygen differences between separately compiled programs) make that
     comparison loose; the two modes here share one forward program, so they
     agree tightly.
     """
-    scene = as_jax(scene)
+    scene = as_jax(template)
     camera = as_jax(camera)
     n_tiles = mesh.shape["tiles"]
     n_prims = mesh.shape["prims"]
@@ -85,11 +96,10 @@ def loss_and_grad_overlapped(scene: Scene, camera: Camera,
     n_pad = per_dev * n_tiles
 
     dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h)
-    tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     if n_pad != n_pix:
-        z = jnp.zeros((n_pad - n_pix, 3), jnp.float32)
-        dirs = jnp.concatenate([dirs, z + jnp.asarray([0.0, 0.0, -1.0])])
-        tgt = jnp.concatenate([tgt, z])
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32),
+                                    (n_pad - n_pix, 3))])
 
     g_full = tr.pad_trace_geom(tr.build_trace_geom(scene), n_prims)
     sizes = (g_full.sph_c.shape[0] // n_prims,
@@ -182,9 +192,19 @@ def loss_and_grad_overlapped(scene: Scene, camera: Camera,
                 jnp.add, grads, cot_floats)
         return loss, tuple(grads)
 
-    loss, gfloats = jax.jit(body)(dirs, tgt, g_full, sc_floats, sc_others,
-                                  camera.pos)
-    zeros = tuple(jnp.zeros_like(o) if hasattr(o, "dtype") else o
-                  for o in sc_others)
-    _, _, rebuild = float_partition(scene)
-    return loss, rebuild(gfloats, zeros)
+    jbody = jax.jit(body)
+
+    def step(sc: Scene, target):
+        sc = as_jax(sc)
+        g = tr.pad_trace_geom(tr.build_trace_geom(sc), n_prims)
+        fl, ot, _ = float_partition(sc)
+        tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
+        if n_pad != n_pix:
+            tgt = jnp.concatenate(
+                [tgt, jnp.zeros((n_pad - n_pix, 3), jnp.float32)])
+        loss, gfloats = jbody(dirs, tgt, g, fl, ot, camera.pos)
+        zeros = tuple(jnp.zeros_like(o) if hasattr(o, "dtype") else o
+                      for o in ot)
+        return loss, sc_rebuild(gfloats, zeros)
+
+    return step
