@@ -163,6 +163,63 @@ def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
         n_nodes=n, capacity=leaf_size, n_tris=t)
 
 
+def build_stacked_bvh(v0, e1, e2, n_shards: int, leaf_size: int = 8):
+    """Per-shard BVHs over equal contiguous triangle chunks → stacked arrays.
+
+    For the primitive-sharded / ring tracers (parallel/tracer.py): the padded
+    triangle SoA is split into `n_shards` equal chunks (the same contiguous
+    split `jax.sharding` applies on the 'prims' axis); each chunk gets its own
+    BVH with LOCAL triangle indices; trees are padded to a common node count
+    so one [S, ...] stack shards/rotates cleanly. Shorter trees' link
+    sentinels are re-mapped to the common n_nodes_max; pad nodes carry
+    inverted AABBs (never hit) and sentinel links, so they are unreachable
+    and park any lane that lands on them.
+
+    → dict of stacked host arrays: aabb_min/aabb_max [S,n,3] f32,
+      leaf_tris [S,n,C] i32, hit_link/miss_link [S,8n] i32, plus static
+      n_nodes (common) and tris_per_shard.
+    """
+    v0 = np.asarray(v0, np.float32)
+    t_total = v0.shape[0]
+    assert t_total % n_shards == 0, "pad triangles before sharding"
+    ts = t_total // n_shards
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+
+    parts = []
+    for s in range(n_shards):
+        sl = slice(s * ts, (s + 1) * ts)
+        # build_bvh consumes (verts, tris); synthesize a vertex soup per chunk
+        verts = np.concatenate([v0[sl], v0[sl] + e1[sl], v0[sl] + e2[sl]])
+        tris = np.stack([np.arange(ts), np.arange(ts) + ts,
+                         np.arange(ts) + 2 * ts], axis=1).astype(np.int32)
+        parts.append(build_bvh(verts, tris, leaf_size=leaf_size))
+
+    n_max = max(p.n_nodes for p in parts)
+    S = n_shards
+    amin = np.full((S, n_max, 3), 1.0, np.float32)   # inverted AABB
+    amax = np.full((S, n_max, 3), -1.0, np.float32)  # (min > max ⇒ no hit)
+    leaf = np.full((S, n_max, leaf_size), ts, np.int32)
+    hit = np.full((S, 8 * n_max), n_max, np.int32)
+    miss = np.full((S, 8 * n_max), n_max, np.int32)
+    for s, p in enumerate(parts):
+        n = p.n_nodes
+        amin[s, :n] = np.asarray(p.aabb_min)
+        amax[s, :n] = np.asarray(p.aabb_max)
+        leaf[s, :n] = np.asarray(p.leaf_tris)
+        h = np.asarray(p.hit_link).reshape(8, n)
+        m = np.asarray(p.miss_link).reshape(8, n)
+        h = np.where(h == n, n_max, h)   # done-sentinel → common sentinel
+        m = np.where(m == n, n_max, m)
+        hit[s, :] = np.pad(h, ((0, 0), (0, n_max - n)),
+                           constant_values=n_max).reshape(-1)
+        miss[s, :] = np.pad(m, ((0, 0), (0, n_max - n)),
+                            constant_values=n_max).reshape(-1)
+    return {"aabb_min": amin, "aabb_max": amax, "leaf_tris": leaf,
+            "hit_link": hit, "miss_link": miss,
+            "n_nodes": n_max, "capacity": leaf_size, "tris_per_shard": ts}
+
+
 def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
              occlusion_max_t=None):
     """Stackless threaded walk over all rays → (best_t [N], best_idx [N]).

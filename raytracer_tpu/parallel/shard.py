@@ -31,9 +31,40 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def build_sharded_accel(scene: Scene, n_prims: int, leaf_size: int = 8):
+    """Host prebuild of the per-shard BVH stack for render_sharded(accel=…).
+
+    → (arrs dict, meta tuple) over the SAME padded/chunked triangle layout
+    pad_trace_geom produces for an n_prims 'prims' axis. Build outside jit
+    (concrete scene), then pass the tuple to render_sharded — inside jit the
+    arrays become ordinary traced inputs.
+    """
+    import numpy as np
+
+    from raytracer_tpu.accel.bvh import build_stacked_bvh
+    from raytracer_tpu.core.types import as_jax
+
+    g = tr.pad_trace_geom(tr.build_trace_geom(as_jax(scene)), n_prims)
+    stacked = build_stacked_bvh(np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+                                np.asarray(g.tri_e2), n_prims,
+                                leaf_size=leaf_size)
+    meta = (stacked["n_nodes"], stacked["capacity"],
+            stacked["tris_per_shard"])
+    arrs = {k: jnp.asarray(stacked[k]) for k in
+            ("aabb_min", "aabb_max", "leaf_tris", "hit_link", "miss_link")}
+    return arrs, meta
+
+
 def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
-                   ring: bool = False, count_rays: bool = False):
-    """Full-image render on a Mesh('tiles','prims') → (image, rays_traced)."""
+                   ring: bool = False, count_rays: bool = False,
+                   accel: str | None = None):
+    """Full-image render on a Mesh('tiles','prims') → (image, rays_traced).
+
+    accel='bvh' builds one BVH per primitive shard on the host (stacked
+    arrays sharded over 'prims'; accel.bvh.build_stacked_bvh) so the per-rank
+    winner search walks a tree instead of brute-scanning its triangle chunk —
+    the ring variant rotates the trees around the ICI ring with the geometry.
+    """
     from raytracer_tpu.core.types import as_jax
 
     scene = as_jax(scene)
@@ -59,17 +90,34 @@ def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
              g_full.pl_p.shape[0] // n_prims,
              g_full.tri_v0.shape[0] // n_prims)
 
+    accel_arrs = accel_meta = None
+    if accel == "bvh" and sizes[2]:
+        # host build — requires a concrete (non-traced) scene; under jit,
+        # prebuild with build_sharded_accel and pass the result instead
+        accel_arrs, accel_meta = build_sharded_accel(scene, n_prims)
+    elif isinstance(accel, tuple):
+        accel_arrs, accel_meta = accel
+        accel_arrs = {k: jnp.asarray(v) for k, v in accel_arrs.items()}
+    elif accel not in (None, "bvh"):
+        raise ValueError(f"unknown accel {accel!r}")
+
+    in_specs = (P("tiles", None), tr.geom_pspec("prims"), P(), P())
+    if accel_arrs is not None:
+        in_specs = in_specs + (tr.accel_pspec("prims"),)
+
     # check_vma=False: the min-combine (all_gather/psum/ring fold) makes the
     # radiance provably equal across 'prims', but the static varying-axes
     # checker cannot infer that.
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("tiles", None), tr.geom_pspec("prims"), P(), P()),
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=(P("tiles", None), P()), check_vma=False)
-    def body(dirs_shard, g_shard, scene_rep, cam_pos):
+    def body(dirs_shard, g_shard, scene_rep, cam_pos, *maybe_accel):
+        acc = maybe_accel[0] if maybe_accel else None
         if ring:
-            tracer = tr.RingTracer(g_shard, "prims", sizes, n_prims)
+            tracer = tr.RingTracer(g_shard, "prims", sizes, n_prims,
+                                   accel=acc, accel_meta=accel_meta)
         else:
-            tracer = tr.ShardTracer(g_shard, "prims", sizes)
+            tracer = tr.ShardTracer(g_shard, "prims", sizes,
+                                    accel=acc, accel_meta=accel_meta)
         orig = jnp.broadcast_to(cam_pos, (inner, 3))
         tiles = dirs_shard.reshape(-1, inner, 3)
 
@@ -83,6 +131,9 @@ def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
         traced = jax.lax.psum(traced, "tiles")
         return rad.reshape(-1, 3), traced
 
-    rad, traced = body(dirs, g_full, scene, camera.pos)
+    args = (dirs, g_full, scene, camera.pos)
+    if accel_arrs is not None:
+        args = args + (accel_arrs,)
+    rad, traced = body(*args)
     img = clamp01(rad[:n_pix]).reshape(h, w, 3)
     return img, traced

@@ -90,7 +90,32 @@ def geom_pspec(prims_axis: str):
                      P(prims_axis, None), P(prims_axis, None))
 
 
-def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int):
+def accel_pspec(prims_axis: str):
+    """PartitionSpec dict for the stacked per-shard BVH arrays
+    (accel.bvh.build_stacked_bvh): leading dim = shard."""
+    from jax.sharding import PartitionSpec as P
+
+    return {"aabb_min": P(prims_axis, None, None),
+            "aabb_max": P(prims_axis, None, None),
+            "leaf_tris": P(prims_axis, None, None),
+            "hit_link": P(prims_axis, None),
+            "miss_link": P(prims_axis, None)}
+
+
+def _local_bvh(g: TraceGeom, accel, accel_meta):
+    """Local slice of the stacked per-shard BVH → BVHData over g's tris."""
+    from raytracer_tpu.accel.bvh import BVHData
+
+    n_nodes, capacity, ts = accel_meta
+    return BVHData(
+        aabb_min=accel["aabb_min"][0], aabb_max=accel["aabb_max"][0],
+        leaf_tris=accel["leaf_tris"][0], hit_link=accel["hit_link"][0],
+        miss_link=accel["miss_link"][0],
+        n_nodes=n_nodes, capacity=capacity, n_tris=ts)
+
+
+def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int,
+                   accel=None, accel_meta=None):
     """Nearest-hit over a TraceGeom → Hit with *local* indices."""
     n = orig.shape[0]
     best_t = jnp.full((n,), INF, jnp.float32)
@@ -113,8 +138,15 @@ def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int):
                              jnp.where(better, KIND_PLANE, kind),
                              jnp.where(better, ib, idx))
     if g.tri_v0.shape[0]:
-        tb, ib = trace_ops._scan_tri_nearest(orig, direc, g.tri_v0, g.tri_e1,
-                                             g.tri_e2, t_min, tri_chunk)
+        if accel is not None:
+            from raytracer_tpu.accel.bvh import bvh_walk
+
+            tb, ib = bvh_walk(_local_bvh(g, accel, accel_meta), g.tri_v0,
+                              g.tri_e1, g.tri_e2, orig, direc, t_min)
+        else:
+            tb, ib = trace_ops._scan_tri_nearest(orig, direc, g.tri_v0,
+                                                 g.tri_e1, g.tri_e2, t_min,
+                                                 tri_chunk)
         better = tb < best_t
         best_t, kind, idx = (jnp.where(better, tb, best_t),
                              jnp.where(better, KIND_TRIANGLE, kind),
@@ -123,7 +155,7 @@ def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int):
 
 
 def _local_occluded(g: TraceGeom, orig, direc, max_t, t_min: float,
-                    tri_chunk: int):
+                    tri_chunk: int, accel=None, accel_meta=None):
     n = orig.shape[0]
     occ = jnp.zeros((n,), bool)
     if g.sph_c.shape[0]:
@@ -133,8 +165,17 @@ def _local_occluded(g: TraceGeom, orig, direc, max_t, t_min: float,
         ts = geom.plane_hits(orig, direc, g.pl_p, g.pl_n, t_min)
         occ |= jnp.any(ts < max_t[:, None], axis=1)
     if g.tri_v0.shape[0]:
-        occ |= trace_ops._scan_tri_occluded(orig, direc, g.tri_v0, g.tri_e1,
-                                            g.tri_e2, t_min, max_t, tri_chunk)
+        if accel is not None:
+            from raytracer_tpu.accel.bvh import bvh_walk
+
+            tb, _ = bvh_walk(_local_bvh(g, accel, accel_meta), g.tri_v0,
+                             g.tri_e1, g.tri_e2, orig, direc, t_min,
+                             occlusion_max_t=max_t)
+            occ |= tb < max_t
+        else:
+            occ |= trace_ops._scan_tri_occluded(orig, direc, g.tri_v0,
+                                                g.tri_e1, g.tri_e2, t_min,
+                                                max_t, tri_chunk)
     return occ
 
 
@@ -175,14 +216,18 @@ class ShardTracer:
     padded TraceGeom; partial (t, kind, idx) all_gather + min-combine over the
     'prims' mesh axis (SURVEY §2.3 row 2)."""
 
-    def __init__(self, local_geom: TraceGeom, axis: str, shard_sizes):
+    def __init__(self, local_geom: TraceGeom, axis: str, shard_sizes,
+                 accel=None, accel_meta=None):
         self._g = local_geom
         self._axis = axis
         self._sizes = shard_sizes  # (spheres, planes, tris) per shard
+        self._accel = accel        # stacked-BVH local slice (accel_pspec)
+        self._accel_meta = accel_meta
 
     def nearest(self, orig, direc, t_min, tri_chunk):
         me = jax.lax.axis_index(self._axis)
-        hit = _local_nearest(self._g, orig, direc, t_min, tri_chunk)
+        hit = _local_nearest(self._g, orig, direc, t_min, tri_chunk,
+                             self._accel, self._accel_meta)
         hit = _globalize(hit, self._sizes, me)
         t_all = jax.lax.all_gather(hit.t, self._axis)
         kind_all = jax.lax.all_gather(hit.kind, self._axis)
@@ -190,7 +235,8 @@ class ShardTracer:
         return _combine_gathered(t_all, kind_all, idx_all)
 
     def occluded(self, orig, direc, max_t, t_min, tri_chunk):
-        occ = _local_occluded(self._g, orig, direc, max_t, t_min, tri_chunk)
+        occ = _local_occluded(self._g, orig, direc, max_t, t_min, tri_chunk,
+                              self._accel, self._accel_meta)
         return jax.lax.psum(occ.astype(jnp.int32), self._axis) > 0
 
 
@@ -201,38 +247,44 @@ class RingTracer:
     per-chip HBM — only one shard is resident per step."""
 
     def __init__(self, local_geom: TraceGeom, axis: str, shard_sizes,
-                 num_shards: int):
+                 num_shards: int, accel=None, accel_meta=None):
         self._g = local_geom
         self._axis = axis
         self._sizes = shard_sizes
         self._p = num_shards
+        self._accel = accel        # rotates around the ring with the geometry
+        self._accel_meta = accel_meta
 
     def _perm(self):
         return [(i, (i + 1) % self._p) for i in range(self._p)]
 
+    def _rotate(self, tree):
+        return jax.tree.map(
+            lambda a: jax.lax.ppermute(a, self._axis, self._perm()), tree)
+
     def nearest(self, orig, direc, t_min, tri_chunk):
         me = jax.lax.axis_index(self._axis)
-        g = self._g
+        g, accel = self._g, self._accel
         n = orig.shape[0]
         best = trace_ops.Hit(kind=jnp.full((n,), KIND_NONE, jnp.int32),
                              idx=jnp.zeros((n,), jnp.int32),
                              t=jnp.full((n,), INF, jnp.float32))
         for step in range(self._p):
             owner = (me - step) % self._p  # whose shard we hold now
-            hit = _local_nearest(g, orig, direc, t_min, tri_chunk)
+            hit = _local_nearest(g, orig, direc, t_min, tri_chunk, accel,
+                                 self._accel_meta)
             hit = _globalize(hit, self._sizes, owner)
             best = _fold_hit(best, hit)
             if step + 1 < self._p:
-                g = jax.tree.map(
-                    lambda a: jax.lax.ppermute(a, self._axis, self._perm()), g)
+                g, accel = self._rotate((g, accel))
         return best
 
     def occluded(self, orig, direc, max_t, t_min, tri_chunk):
-        g = self._g
+        g, accel = self._g, self._accel
         occ = jnp.zeros((orig.shape[0],), bool)
         for step in range(self._p):
-            occ |= _local_occluded(g, orig, direc, max_t, t_min, tri_chunk)
+            occ |= _local_occluded(g, orig, direc, max_t, t_min, tri_chunk,
+                                   accel, self._accel_meta)
             if step + 1 < self._p:
-                g = jax.tree.map(
-                    lambda a: jax.lax.ppermute(a, self._axis, self._perm()), g)
+                g, accel = self._rotate((g, accel))
         return occ

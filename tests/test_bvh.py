@@ -136,6 +136,46 @@ def test_bvh_occlusion_matches_brute(mesh_scene):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_stacked_bvh_sharded_render(mesh_scene):
+    """Per-shard BVHs (accel='bvh') must reproduce the brute sharded render,
+    for both the all-gather combine and the ppermute ring."""
+    import jax
+
+    from raytracer_tpu.parallel.mesh import make_rt_mesh
+    from raytracer_tpu.parallel.shard import render_sharded
+
+    from raytracer_tpu.parallel.shard import build_sharded_accel
+
+    scene, cam, opts = mesh_scene
+    mesh = make_rt_mesh(tiles=2, prims=4, devices=jax.devices()[:8])
+    ref = np.asarray(jax.jit(lambda s, c: render_sharded(
+        s, c, opts, mesh)[0])(scene, cam))
+    accel = build_sharded_accel(scene, n_prims=4)
+    for ring in (False, True):
+        img = np.asarray(jax.jit(lambda s, c, r=ring: render_sharded(
+            s, c, opts, mesh, ring=r, accel=accel)[0])(scene, cam))
+        assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001,
+                            name=f"stacked-bvh ring={ring}")
+
+
+def test_stacked_bvh_covers_all_tris(mesh_scene):
+    from raytracer_tpu.accel.bvh import build_stacked_bvh
+    from raytracer_tpu.parallel import tracer as tr
+    from raytracer_tpu.core.types import as_jax
+
+    scene, _, _ = mesh_scene
+    g = tr.pad_trace_geom(tr.build_trace_geom(as_jax(scene)), 4)
+    st = build_stacked_bvh(np.asarray(g.tri_v0), np.asarray(g.tri_e1),
+                           np.asarray(g.tri_e2), 4)
+    ts = st["tris_per_shard"]
+    assert ts * 4 == g.tri_v0.shape[0]
+    for s in range(4):
+        ids = set(st["leaf_tris"][s].ravel().tolist()) - {ts}
+        assert ids == set(range(ts)), f"shard {s} leaf coverage"
+        for lk in (st["hit_link"][s], st["miss_link"][s]):
+            assert lk.min() >= 0 and lk.max() <= st["n_nodes"]
+
+
 def test_bvh_gradients_match_brute(mesh_scene):
     """Winner recompute is backend-independent: loss grads w.r.t. vertices and
     material albedo must match the default tracer's."""
