@@ -34,7 +34,19 @@ def cmd_render(args):
 
         tracer = BVHTracer.build(scene)
     t0 = time.perf_counter()
-    img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
+    if args.trace:
+        from raytracer_tpu.utils.profiling import xprof_trace
+
+        with xprof_trace(args.trace):
+            img, traced = render(scene, cam, opts, count_rays=True,
+                                 tracer=tracer)
+            import jax
+
+            jax.block_until_ready(img)
+        print(f"device trace written to {args.trace} "
+              "(view with XProf/TensorBoard)")
+    else:
+        img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
     img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = float(traced)
@@ -145,6 +157,8 @@ def main(argv=None):
                     choices=["auto", "none", "grid", "bvh"],
                     help="mesh winner-search backend (auto = grid when the "
                          "scene has triangles)")
+    pr.add_argument("--trace", default="",
+                    help="write a jax.profiler device trace to this dir")
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")
