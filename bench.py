@@ -80,8 +80,9 @@ def main():
             chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
         chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
                                     "RT_BWD_UNIT_BUDGET": "1600000"}))
-        chain.append(("config2", ("--width", "1920", "--height", "1080",
-                                  "--depth", "2"), {}))
+        c2 = ("--width", "1920", "--height", "1080", "--depth", "2")
+        chain.append(("config2", c2, {"RT_BENCH_FUSED": "1"}))
+        chain.append(("config2", c2, {}))
     t = used = extra = env = None
     for cfg, ex, ev in chain:
         t = _guarded("fwd", cfg, ex, env=ev, attempts=1)

@@ -135,6 +135,19 @@ def _chained_time(call, repeats=2, k=6):
 def phase_fwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
 
+    if os.environ.get("RT_BENCH_FUSED") == "1":
+        from raytracer_tpu.ops import fused as fused_mod
+
+        assert tracer is None and fused_mod.supported(scene), \
+            "RT_BENCH_FUSED needs a mesh-free glass-free scene"
+        fw = fused_mod.FusedWhitted(scene, cam, opts)
+        img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
+                                   repeats=repeats)
+        float(img[0, 0, 0])  # validation readback
+        return {"config": config, "width": opts.width, "height": opts.height,
+                "max_depth": opts.max_depth, "fwd_s": t_fwd, "fwd_bands": 1,
+                "fused": True, "device": str(jax.devices()[0])}
+
     # The program-size budget applies to FORWARD grid programs too (verified:
     # 960x540xd4 ok, 1440x810xd4 kernel-faults) — band-split the frame into
     # one jit program per band; mesh-free scenes get a single band.

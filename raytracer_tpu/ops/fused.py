@@ -1,0 +1,354 @@
+"""Fused Whitted megakernel: the whole forward render in ONE Pallas kernel.
+
+The wavefront path (renderer.py) round-trips per-bounce ray state through HBM
+between XLA-fused stages; at 1080p that traffic (~hundreds of MB per frame)
+is the forward bottleneck on mesh-free scenes. This kernel keeps everything —
+raygen, the bounce loop, shadow rays, Phong shading — resident in
+VMEM/registers for an (8, 128) pixel tile per program, writing only the final
+RGB planes (~25 MB at 1080p): the speed-of-light memory profile for this
+workload.
+
+Scope: mesh-free, glass-free scenes (spheres + planes, diffuse/glossy +
+mirror materials, checker planes, point lights) — configs 1/2/5 and the
+bench's mesh-free fallback. Scene and camera constants are BAKED into the
+compiled program (the TPU-native analog of the reference hard-coding its
+scene in `main()` — SURVEY §1 L5); rebuild + recompile on scene change. The
+differentiable/training path stays on the wavefront renderer — this kernel is
+the serving/benchmark forward.
+
+Math is a line-for-line port of ops/geometry.py + ops/shade.py +
+renderer.bounce_step (docs/SPEC.md), so images agree with the default path to
+float-association noise (goldens enforce it; knife-edge pixels excepted).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer_tpu.core.types import (
+    DIFFUSE_AND_GLOSSY, REFLECTION, Camera, RenderOptions, Scene)
+
+_DET_EPS = 1e-8
+
+_TR, _TC = 8, 128  # pixel tile (VPU register shape)
+
+
+def _f(x):
+    return float(np.asarray(x))
+
+
+def supported(scene: Scene) -> bool:
+    """Fused path handles mesh-free, glass-free scenes only."""
+    import numpy as _np
+
+    scene_m = _np.asarray(scene.materials.mtype)
+    used = set()
+    if scene.spheres.count:
+        used |= set(_np.asarray(scene.spheres.mat_id).tolist())
+    if scene.planes.count:
+        used |= set(_np.asarray(scene.planes.mat_id).tolist())
+    mats_ok = all(scene_m[m] in (DIFFUSE_AND_GLOSSY, REFLECTION)
+                  for m in used)
+    return scene.meshes.count == 0 and mats_ok
+
+
+class FusedWhitted:
+    """Build once per (scene, camera, opts); call .render(row0, rows)."""
+
+    def __init__(self, scene: Scene, camera: Camera, opts: RenderOptions,
+                 interpret: bool | None = None):
+        assert supported(scene), "fused path: mesh-free glass-free scenes only"
+        s = jax.tree.map(np.asarray, scene)
+        self._opts = opts
+        if interpret is None:  # Mosaic lowering needs a real TPU
+            interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+
+        mats = s.materials
+        self.spheres = [
+            dict(c=tuple(map(float, s.spheres.center[i])),
+                 r=float(s.spheres.radius[i]),
+                 **self._mat(mats, int(s.spheres.mat_id[i])))
+            for i in range(s.spheres.count)]
+        self.planes = [
+            dict(p=tuple(map(float, s.planes.point[i])),
+                 n=tuple(map(float, s.planes.normal[i])),
+                 tan=tuple(map(float, s.planes.tangent[i])),
+                 bit=tuple(map(float, s.planes.bitangent[i])),
+                 checker=bool(s.planes.checker[i]),
+                 cscale=float(s.planes.checker_scale[i]),
+                 alb2=tuple(map(float, s.planes.albedo2[i])),
+                 **self._mat(mats, int(s.planes.mat_id[i])))
+            for i in range(s.planes.count)]
+        self.lights = [
+            (tuple(map(float, s.lights.pos[i])),
+             tuple(map(float, s.lights.intensity[i])))
+            for i in range(np.asarray(s.lights.pos).shape[0])]
+
+        cam = jax.tree.map(np.asarray, camera)
+        self.cam_pos = tuple(map(float, np.asarray(cam.pos)))
+        self.c2w = np.asarray(cam.c2w, np.float64)
+        self.scale = float(np.tan(np.deg2rad(float(np.asarray(cam.fov_deg))
+                                             / 2.0)))
+
+    @staticmethod
+    def _mat(mats, mid: int):
+        return dict(albedo=tuple(map(float, mats.albedo[mid])),
+                    kd=float(mats.kd[mid]), ks=float(mats.ks[mid]),
+                    spec_n=float(mats.spec_n[mid]),
+                    ior=float(mats.ior[mid]),
+                    mirror=int(mats.mtype[mid]) == REFLECTION)
+
+    # -- vector helpers on (3-tuple of [8,128]) ---------------------------
+    @staticmethod
+    def _dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    # -- intersection t against one primitive (constants baked) ----------
+    def _sphere_t(self, o, d, sp, t_min):
+        L = (o[0] - sp["c"][0], o[1] - sp["c"][1], o[2] - sp["c"][2])
+        a = self._dot(d, d)
+        b = 2.0 * self._dot(d, L)
+        c0 = self._dot(L, L) - sp["r"] * sp["r"]
+        disc = b * b - 4.0 * a * c0
+        has = disc >= 0  # radius > 0 statically
+        sq = jnp.sqrt(jnp.maximum(jnp.where(has, disc, 1.0), 1e-12))
+        sq = jnp.where(has, sq, 0.0)
+        q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+        t0 = q / a
+        okq = jnp.abs(q) > 1e-12
+        t1 = jnp.where(okq, c0 / jnp.where(okq, q, 1.0), -jnp.inf)
+        tlo = jnp.minimum(t0, t1)
+        thi = jnp.maximum(t0, t1)
+        t = jnp.where(tlo > t_min, tlo, jnp.where(thi > t_min, thi, jnp.inf))
+        return jnp.where(has, t, jnp.inf)
+
+    def _plane_t(self, o, d, pln, t_min):
+        n = pln["n"]
+        denom = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
+        valid = jnp.abs(denom) > _DET_EPS
+        num = ((pln["p"][0] - o[0]) * n[0] + (pln["p"][1] - o[1]) * n[1]
+               + (pln["p"][2] - o[2]) * n[2])
+        t = jnp.where(valid, num / jnp.where(valid, denom, 1.0), -jnp.inf)
+        return jnp.where(valid & (t > t_min), t, jnp.inf)
+
+    def _occluded(self, o, d, max_t, t_min):
+        occ = jnp.zeros_like(max_t, bool)
+        for sp in self.spheres:
+            occ |= self._sphere_t(o, d, sp, t_min) < max_t
+        for pln in self.planes:
+            occ |= self._plane_t(o, d, pln, t_min) < max_t
+        return occ
+
+    # -- the kernel -------------------------------------------------------
+    def _kernel(self, row0: int, h_px: int, w_px: int):
+        opts = self._opts
+        bg = tuple(float(c) for c in opts.background)
+        t_min, bias = opts.t_min, opts.bias
+        prims = ([("s", sp) for sp in self.spheres]
+                 + [("p", pln) for pln in self.planes])
+        m = self.c2w
+
+        def kernel(eps_ref, r_ref, g_ref, b_ref):
+            # eps (always 0) threads a data dependency through the camera so
+            # dependency-chain timing works (benchmarks/rays_per_sec.py); it
+            # also future-proofs camera jitter without a rebuild.
+            eps = eps_ref[0, 0]
+            pi = pl.program_id(0)
+            pj = pl.program_id(1)
+            row = (pi * _TR + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (_TR, _TC), 0)
+                   + row0).astype(jnp.float32)
+            col = (pj * _TC + jax.lax.broadcasted_iota(jnp.int32,
+                                                       (_TR, _TC), 1)
+                   ).astype(jnp.float32)
+            # raygen (geometry.raygen): full-image projection
+            aspect = float(w_px) / float(h_px)
+            x = (2.0 * (col + 0.5) / w_px - 1.0) * aspect * self.scale
+            y = (1.0 - 2.0 * (row + 0.5) / h_px) * self.scale
+            dw = tuple(
+                x * float(m[k, 0]) + y * float(m[k, 1]) - float(m[k, 2])
+                for k in range(3))
+            inv = jax.lax.rsqrt(self._dot(dw, dw))
+            d = (dw[0] * inv, dw[1] * inv, dw[2] * inv)
+            o = (jnp.full((_TR, _TC), self.cam_pos[0]) + eps,
+                 jnp.full((_TR, _TC), self.cam_pos[1]),
+                 jnp.full((_TR, _TC), self.cam_pos[2]))
+
+            rad = [jnp.zeros((_TR, _TC), jnp.float32) for _ in range(3)]
+            thr = jnp.ones((_TR, _TC), jnp.float32)
+            alive = jnp.ones((_TR, _TC), bool)
+
+            for depth in range(opts.max_depth + 1):
+                # winner search (strict < keeps sphere<plane, lower index)
+                best_t = jnp.full((_TR, _TC), jnp.inf)
+                win = jnp.full((_TR, _TC), -1, jnp.int32)
+                for i, (kind, prm) in enumerate(prims):
+                    ti = (self._sphere_t(o, d, prm, t_min) if kind == "s"
+                          else self._plane_t(o, d, prm, t_min))
+                    better = ti < best_t
+                    best_t = jnp.where(better, ti, best_t)
+                    win = jnp.where(better, i, win)
+                valid = alive & (win >= 0)
+                tt = jnp.where(win >= 0, best_t, 0.0)
+                p = tuple(o[k] + tt * d[k] for k in range(3))
+
+                # winner attributes (unrolled blends over the tiny scene)
+                nrm = [jnp.zeros((_TR, _TC), jnp.float32) for _ in range(3)]
+                alb = [jnp.zeros((_TR, _TC), jnp.float32) for _ in range(3)]
+                kd = jnp.zeros((_TR, _TC), jnp.float32)
+                ks = jnp.zeros((_TR, _TC), jnp.float32)
+                spec_n = jnp.full((_TR, _TC), 1.0)
+                ior = jnp.full((_TR, _TC), 1.0)
+                is_mir = jnp.zeros((_TR, _TC), bool)
+                for i, (kind, prm) in enumerate(prims):
+                    msk = win == i
+                    if kind == "s":
+                        inv_r = 1.0 / prm["r"]
+                        ni = tuple((p[k] - prm["c"][k]) * inv_r
+                                   for k in range(3))
+                        ai = prm["albedo"]
+                        ai = (jnp.full((_TR, _TC), ai[0]),
+                              jnp.full((_TR, _TC), ai[1]),
+                              jnp.full((_TR, _TC), ai[2]))
+                    else:
+                        ni = tuple(jnp.full((_TR, _TC), prm["n"][k])
+                                   for k in range(3))
+                        if prm["checker"]:
+                            rel = tuple(p[k] - prm["p"][k] for k in range(3))
+                            u = self._dot(rel, prm["tan"]) * prm["cscale"]
+                            v = self._dot(rel, prm["bit"]) * prm["cscale"]
+                            fu = u - jnp.floor(u)
+                            fv = v - jnp.floor(v)
+                            pat = (fu > 0.5) ^ (fv > 0.5)
+                            ai = tuple(jnp.where(pat, prm["alb2"][k],
+                                                 prm["albedo"][k])
+                                       for k in range(3))
+                        else:
+                            ai = tuple(jnp.full((_TR, _TC), prm["albedo"][k])
+                                       for k in range(3))
+                    for k in range(3):
+                        nrm[k] = jnp.where(msk, ni[k], nrm[k])
+                        alb[k] = jnp.where(msk, ai[k], alb[k])
+                    kd = jnp.where(msk, prm["kd"], kd)
+                    ks = jnp.where(msk, prm["ks"], ks)
+                    spec_n = jnp.where(msk, prm["spec_n"], spec_n)
+                    ior = jnp.where(msk, prm["ior"], ior)
+                    if prm["mirror"]:
+                        is_mir |= msk
+                nrm = tuple(nrm)
+
+                # miss → background
+                miss = alive & (win < 0)
+                for k in range(3):
+                    rad[k] += jnp.where(miss, thr * bg[k], 0.0)
+
+                # diffuse leaf → Phong + shadows (ops/shade.py port)
+                din = self._dot(d, nrm)
+                side = jnp.where(din < 0, 1.0, -1.0)
+                so = tuple(p[k] + side * bias * nrm[k] for k in range(3))
+                lamt = [jnp.zeros((_TR, _TC), jnp.float32) for _ in range(3)]
+                spec = [jnp.zeros((_TR, _TC), jnp.float32) for _ in range(3)]
+                for lpos, lint in self.lights:
+                    lvec = tuple(lpos[k] - p[k] for k in range(3))
+                    d2 = self._dot(lvec, lvec)
+                    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                    dist = jnp.where(d2 > 0, dist, 0.0)
+                    il = 1.0 / jnp.maximum(dist, 1e-12)
+                    ldir = tuple(lvec[k] * il for k in range(3))
+                    ldn = jnp.maximum(0.0, self._dot(ldir, nrm))
+                    vis = jnp.where(self._occluded(so, ldir, dist, t_min),
+                                    0.0, 1.0)
+                    # r = reflect(-ldir, n); base = -dot(r, d)
+                    mld = self._dot(ldir, nrm)
+                    rl = tuple(-ldir[k] + 2.0 * mld * nrm[k]
+                               for k in range(3))
+                    base = -self._dot(rl, d)
+                    pw = jnp.where(base > 0,
+                                   jnp.power(jnp.maximum(base, 1e-7),
+                                             spec_n), 0.0)
+                    for k in range(3):
+                        lamt[k] += vis * ldn * lint[k]
+                        spec[k] += pw * lint[k]
+                is_diff = valid & ~is_mir
+                for k in range(3):
+                    local = lamt[k] * alb[k] * kd + spec[k] * ks
+                    rad[k] += jnp.where(is_diff, thr * local, 0.0)
+
+                # mirror branch (geometry.fresnel port; no glass)
+                spec_m = valid & is_mir
+                cosi = jnp.clip(din, -1.0, 1.0)
+                entering = cosi <= 0
+                etai = jnp.where(entering, 1.0, ior)
+                etat = jnp.where(entering, ior, 1.0)
+                s2 = jnp.maximum(1.0 - cosi * cosi, 0.0)
+                sq2 = jnp.where(s2 > 0, jnp.sqrt(jnp.maximum(s2, 1e-12)),
+                                0.0)
+                sint = etai / etat * sq2
+                no_tir = sint < 1.0
+                c2 = jnp.maximum(1.0 - sint * sint, 0.0)
+                cost = jnp.where(no_tir,
+                                 jnp.sqrt(jnp.maximum(c2, 1e-12)), 0.0)
+                cosa = jnp.abs(cosi)
+                den1 = etat * cosa + etai * cost
+                den2 = etai * cosa + etat * cost
+                rs = jnp.where(no_tir,
+                               (etat * cosa - etai * cost)
+                               / jnp.where(no_tir, den1, 1.0), 0.0)
+                rp = jnp.where(no_tir,
+                               (etai * cosa - etat * cost)
+                               / jnp.where(no_tir, den2, 1.0), 0.0)
+                kr = jnp.where(no_tir, 0.5 * (rs * rs + rp * rp), 1.0)
+
+                if depth == opts.max_depth:
+                    w = jnp.where(spec_m, kr, 0.0)
+                    for k in range(3):
+                        rad[k] += thr * w * bg[k]
+                else:
+                    rdw = tuple(d[k] - 2.0 * din * nrm[k] for k in range(3))
+                    rinv = jax.lax.rsqrt(jnp.maximum(self._dot(rdw, rdw),
+                                                     1e-12))
+                    rd = tuple(rdw[k] * rinv for k in range(3))
+                    rside = jnp.where(self._dot(rd, nrm) < 0, -1.0, 1.0)
+                    o = tuple(p[k] + rside * bias * nrm[k] for k in range(3))
+                    d = rd
+                    thr = jnp.where(spec_m, thr * kr, 0.0)
+                    alive = spec_m
+
+            r_ref[:] = jnp.clip(rad[0], 0.0, 1.0)
+            g_ref[:] = jnp.clip(rad[1], 0.0, 1.0)
+            b_ref[:] = jnp.clip(rad[2], 0.0, 1.0)
+
+        return kernel
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _render(self, row0: int, rows: int, eps):
+        opts = self._opts
+        h, w = opts.height, opts.width
+        rp = -(-rows // _TR) * _TR
+        wp = -(-w // _TC) * _TC
+        grid = (rp // _TR, wp // _TC)
+        spec = pl.BlockSpec((_TR, _TC), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        eps_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        shape = jax.ShapeDtypeStruct((rp, wp), jnp.float32)
+        planes = pl.pallas_call(
+            self._kernel(row0, h, w), grid=grid,
+            in_specs=[eps_spec], out_specs=(spec, spec, spec),
+            out_shape=(shape, shape, shape),
+            interpret=self._interpret,
+        )(jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)))
+        return jnp.stack(planes, axis=-1)[:rows, :w]
+
+    def render(self, row0: int = 0, rows: int | None = None, eps=0.0):
+        """→ image [rows, W, 3] in [0,1] (band of the full projection).
+
+        `eps` (keep 0) perturbs the camera x — the data-dependency hook for
+        chained timing."""
+        rows = self._opts.height - row0 if rows is None else rows
+        return self._render(row0, rows, eps)
