@@ -140,7 +140,9 @@ def phase_fwd(config, repeats=2, **kw):
 
         assert tracer is None and fused_mod.supported(scene), \
             "RT_BENCH_FUSED needs a mesh-free glass-free scene"
-        fw = fused_mod.FusedWhitted(scene, cam, opts)
+        tile = tuple(int(x) for x in
+                     os.environ.get("RT_FUSED_TILE", "128,512").split(","))
+        fw = fused_mod.FusedWhitted(scene, cam, opts, tile=tile)
         img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
                                    repeats=repeats)
         float(img[0, 0, 0])  # validation readback

@@ -10,10 +10,19 @@ import dataclasses
 import time
 
 
+def _save(path: str, img):
+    from raytracer_tpu.io.image import save_png, save_ppm
+
+    if path.endswith(".ppm"):
+        save_ppm(path, img)
+    else:
+        save_png(path, img)
+    print("wrote", path)
+
+
 def cmd_render(args):
     import numpy as np
 
-    from raytracer_tpu.io.image import save_png, save_ppm
     from raytracer_tpu.models import presets
     from raytracer_tpu.renderer import render
 
@@ -25,6 +34,18 @@ def cmd_render(args):
         opts = dataclasses.replace(opts, max_depth=args.max_depth)
     tracer = None
     kind = "grid" if args.grid else args.tracer
+    if kind == "fused":
+        from raytracer_tpu.ops import fused
+
+        fw = fused.FusedWhitted(scene, cam, opts)
+        t0 = time.perf_counter()
+        img = np.asarray(fw.render())
+        dt = time.perf_counter() - t0
+        print(f"{args.config}: {opts.width}x{opts.height} "
+              f"depth={opts.max_depth} in {dt:.2f}s (fused kernel, with "
+              f"compile)")
+        _save(args.out, img)
+        return
     if scene.meshes.count and kind in ("grid", "auto"):
         from raytracer_tpu.accel.grid import GridTracer
 
@@ -53,11 +74,7 @@ def cmd_render(args):
     print(f"{args.config}: {opts.width}x{opts.height} depth={opts.max_depth} "
           f"in {dt:.2f}s (with compile) — {rays:.3g} rays, "
           f"{rays / dt:.3g} rays/s")
-    if args.out.endswith(".ppm"):
-        save_ppm(args.out, img)
-    else:
-        save_png(args.out, img)
-    print("wrote", args.out)
+    _save(args.out, img)
 
 
 def cmd_optimize(args):
@@ -154,9 +171,10 @@ def main(argv=None):
     pr.add_argument("--grid", action="store_true",
                     help="(deprecated) alias for --tracer grid")
     pr.add_argument("--tracer", default="auto",
-                    choices=["auto", "none", "grid", "bvh"],
+                    choices=["auto", "none", "grid", "bvh", "fused"],
                     help="mesh winner-search backend (auto = grid when the "
-                         "scene has triangles)")
+                         "scene has triangles; fused = single-kernel forward "
+                         "for mesh-free scenes)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
     pr.set_defaults(fn=cmd_render)
