@@ -138,11 +138,16 @@ def phase_fwd(config, repeats=2, **kw):
     if os.environ.get("RT_BENCH_FUSED") == "1":
         from raytracer_tpu.ops import fused as fused_mod
 
-        assert tracer is None and fused_mod.supported(scene), \
+        # Build from the HOST preset scene, not the device_put one: the
+        # builder's np.asarray over device arrays would be a D2H readback
+        # before timing — the permanent ~25 ms sync-dispatch poisoning
+        # (CLAUDE.md rule 3) that invalidates the measurement.
+        scene_h, cam_h, _ = presets.PRESETS[config]()
+        assert tracer is None and fused_mod.supported(scene_h), \
             "RT_BENCH_FUSED needs a mesh-free glass-free scene"
         tile = tuple(int(x) for x in
                      os.environ.get("RT_FUSED_TILE", "128,512").split(","))
-        fw = fused_mod.FusedWhitted(scene, cam, opts, tile=tile)
+        fw = fused_mod.FusedWhitted(scene_h, cam_h, opts, tile=tile)
         img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
                                    repeats=repeats)
         float(img[0, 0, 0])  # validation readback

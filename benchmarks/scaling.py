@@ -58,9 +58,15 @@ def run_grad_overlap(config: str = "config2", width: int = 128,
     """A/B the bounce-pipelined backward (per-bounce psum) vs the fused-psum
     twin on the full device mesh (parallel/overlap.py). On the CPU sim this
     is a functional timing smoke; on a pod slice it measures whether the
-    per-bounce allreduces actually overlap the backward compute."""
-    import numpy as np
+    per-bounce allreduces actually overlap the backward compute.
 
+    Measurement discipline (CLAUDE.md): no device→host readback before
+    timing (the target stays a device array) and per-step time comes from
+    the dependency-chain slope, not a single block_until_ready round-trip.
+    """
+    import jax.numpy as jnp
+
+    from benchmarks.rays_per_sec import _chained_time
     from raytracer_tpu.models import presets
     from raytracer_tpu.parallel.mesh import make_rt_mesh
     from raytracer_tpu.parallel.overlap import make_loss_and_grad
@@ -71,19 +77,16 @@ def run_grad_overlap(config: str = "config2", width: int = 128,
                                max_depth=max_depth)
     mesh = make_rt_mesh(tiles=tiles, prims=prims,
                         devices=jax.devices()[:tiles * prims])
-    target = np.asarray(jax.jit(
-        lambda s, c: render_sharded(s, c, opts, mesh)[0])(scene, cam)) * 0.9
+    target = jax.jit(
+        lambda s, c: render_sharded(s, c, opts, mesh)[0])(scene, cam) * 0.9
 
     out = {}
     for name, overlap in (("overlapped", True), ("fused", False)):
         step = make_loss_and_grad(scene, cam, opts, mesh, overlap=overlap)
-        jax.block_until_ready(step(scene, target))  # compile
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(step(scene, target))
-            best = min(best, time.perf_counter() - t0)
-        out[name] = best
+        _, per = _chained_time(
+            lambda eps: step(scene, jnp.asarray(target) + eps),
+            repeats=repeats)
+        out[name] = per
     out["speedup"] = out["fused"] / out["overlapped"]
     return out
 

@@ -66,11 +66,14 @@ def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
 
     t = np.asarray(tris).shape[0]
     assert t > 0, "BVH over empty mesh"
+    # Round vertices through f32 FIRST so both builders consume identical
+    # values (scenes store f32; the native ABI is f32) — otherwise f64 input
+    # with sub-f32 precision could order centroids differently per builder.
+    verts = np.asarray(verts, np.float32)
     lib = native_lib()
     if lib is not None and lib.has_bvh:
         amin, amax, leaf, hit, miss = lib.bvh_build(
-            np.asarray(verts, np.float32), np.asarray(tris, np.int32),
-            leaf_size)
+            verts, np.asarray(tris, np.int32), leaf_size)
         return BVHData(
             aabb_min=jnp.asarray(amin), aabb_max=jnp.asarray(amax),
             leaf_tris=jnp.asarray(leaf), hit_link=jnp.asarray(hit),

@@ -59,7 +59,9 @@ jax.tree_util.register_dataclass(
 def build_grid(verts, tris, res=None, capacity: int = 24,
                density: float = 4.0) -> GridData:
     """Host-side grid build from concrete arrays (not traceable)."""
-    verts = np.asarray(verts, np.float64)
+    # f32-first: the native builder's ABI is f32; rounding here keeps the two
+    # builders byte-identical even for f64 input (scenes store f32 anyway)
+    verts = np.asarray(np.asarray(verts, np.float32), np.float64)
     tris = np.asarray(tris, np.int64)
     t = tris.shape[0]
     assert t > 0, "grid over empty mesh"

@@ -4,9 +4,9 @@ The wavefront path (renderer.py) round-trips per-bounce ray state through HBM
 between XLA-fused stages; at 1080p that traffic (~hundreds of MB per frame)
 is the forward bottleneck on mesh-free scenes. This kernel keeps everything —
 raygen, the bounce loop, shadow rays, Phong shading — resident in
-VMEM/registers for an (8, 128) pixel tile per program, writing only the final
-RGB planes (~25 MB at 1080p): the speed-of-light memory profile for this
-workload.
+VMEM/registers for one pixel tile per program (default (128, 512); Mosaic
+register-tiles it internally), writing only the final RGB planes (~25 MB at
+1080p): the speed-of-light memory profile for this workload.
 
 Scope: mesh-free, glass-free scenes (spheres + planes, diffuse/glossy +
 mirror materials, checker planes, point lights) — configs 1/2/5 and the
@@ -35,10 +35,6 @@ from raytracer_tpu.core.types import (
 _DET_EPS = 1e-8
 
 
-
-
-def _f(x):
-    return float(np.asarray(x))
 
 
 def supported(scene: Scene) -> bool:

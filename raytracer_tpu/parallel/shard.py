@@ -42,12 +42,21 @@ def build_sharded_accel(scene: Scene, n_prims: int, leaf_size: int = 8):
     import numpy as np
 
     from raytracer_tpu.accel.bvh import build_stacked_bvh
-    from raytracer_tpu.core.types import as_jax
 
-    g = tr.pad_trace_geom(tr.build_trace_geom(as_jax(scene)), n_prims)
-    stacked = build_stacked_bvh(np.asarray(g.tri_v0), np.asarray(g.tri_e1),
-                                np.asarray(g.tri_e2), n_prims,
-                                leaf_size=leaf_size)
+    # host-only: np.asarray over a device scene would be a D2H readback that
+    # permanently sync-poisons a TPU process (CLAUDE.md rule 3) — so build
+    # (v0, e1, e2) and the pad_trace_geom triangle padding in numpy directly
+    verts = np.asarray(scene.meshes.verts, np.float32)
+    tris = np.asarray(scene.meshes.tris)
+    v0 = verts[tris[:, 0]]
+    e1 = verts[tris[:, 1]] - v0
+    e2 = verts[tris[:, 2]] - v0
+    t_pad = -(-max(v0.shape[0], 0) // n_prims) * n_prims
+    pad = t_pad - v0.shape[0]
+    if pad:
+        z = np.zeros((pad, 3), np.float32)
+        v0, e1, e2 = (np.concatenate([a, z]) for a in (v0, e1, e2))
+    stacked = build_stacked_bvh(v0, e1, e2, n_prims, leaf_size=leaf_size)
     meta = (stacked["n_nodes"], stacked["capacity"],
             stacked["tris_per_shard"])
     arrs = {k: jnp.asarray(stacked[k]) for k in
