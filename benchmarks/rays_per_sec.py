@@ -146,7 +146,7 @@ def phase_fwd(config, repeats=2, **kw):
         assert tracer is None and fused_mod.supported(scene_h), \
             "RT_BENCH_FUSED needs a mesh-free glass-free scene"
         tile = tuple(int(x) for x in
-                     os.environ.get("RT_FUSED_TILE", "128,512").split(","))
+                     os.environ.get("RT_FUSED_TILE", "32,256").split(","))
         fw = fused_mod.FusedWhitted(scene_h, cam_h, opts, tile=tile)
         img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
                                    repeats=repeats)

@@ -56,7 +56,7 @@ class FusedWhitted:
     """Build once per (scene, camera, opts); call .render(row0, rows)."""
 
     def __init__(self, scene: Scene, camera: Camera, opts: RenderOptions,
-                 interpret: bool | None = None, tile: tuple = (128, 512)):
+                 interpret: bool | None = None, tile: tuple = (32, 256)):
         assert supported(scene), "fused path: mesh-free glass-free scenes only"
         s = jax.tree.map(np.asarray, scene)
         self._opts = opts
@@ -64,9 +64,9 @@ class FusedWhitted:
             interpret = jax.default_backend() != "tpu"
         self._interpret = interpret
         # tile = pixels per kernel program. Mosaic splits the block onto
-        # (8,128) VPU registers internally; big tiles amortize per-program
-        # launch overhead (2025 programs of (8,128) at 1080p measured ~4.7 ms
-        # of pure dispatch vs ~36 programs at (128,512)), bounded by VMEM.
+        # (8,128) VPU registers internally. 1080p sweep on v5e (config2, d2):
+        # (8,128) 0.45 ms, (32,256) 0.30 ms, (64,512) 0.61 ms — mid-size
+        # tiles balance launch amortization against VMEM pressure.
         self._tile = (int(tile[0]), int(tile[1]))
 
         mats = s.materials
