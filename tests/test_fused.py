@@ -57,7 +57,10 @@ def test_fused_band_split():
     full = np.asarray(fw.render())
     parts = [np.asarray(fw.render(row0=r0, rows=rows))
              for r0, rows in ((0, 37), (37, 40), (77, 19))]
-    np.testing.assert_array_equal(np.concatenate(parts, axis=0), full)
+    # programs of different grid shapes may differ by an ulp; a band-offset
+    # or cropping bug would be O(1)
+    np.testing.assert_allclose(np.concatenate(parts, axis=0), full,
+                               atol=1e-6, rtol=0)
 
 
 def test_fused_odd_width():
