@@ -182,7 +182,10 @@ def phase_fwd(config, repeats=2, **kw):
 def phase_bwd(config, repeats=2, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
     n_pix = opts.width * opts.height
-    bands = _bands(opts)
+    # the program-size fault is specific to grid/BVH mesh programs; mesh-free
+    # scenes run full-frame 1080p backward fine (readback-verified) — one
+    # program saves the per-band dispatch on the headline fwd+bwd number
+    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
 
     # target rendered band-wise (full-frame grid programs exceed the budget)
     tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
