@@ -45,13 +45,17 @@ def _phase(phase: str, config: str | None = None, extra=(),
     return None
 
 
-def _wait_healthy(max_wait: int = 600) -> bool:
+def _wait_healthy(max_wait: int = 1500) -> bool:
+    # PATIENT probing: a poisoned tunnel blocks in tcp_recvmsg for minutes,
+    # and killing a blocked probe re-poisons it — the kill-retry loop never
+    # converges (observed 25+ min). One long-timeout probe rides it out;
+    # retry (after a rest) only when the probe exits on its own.
     t0 = time.time()
     while time.time() - t0 < max_wait:
-        if _phase("probe", timeout=240) is not None:
+        if _phase("probe", timeout=600) is not None:
             return True
-        sys.stderr.write("# TPU unhealthy; waiting 60s…\n")
-        time.sleep(60)
+        sys.stderr.write("# TPU unhealthy; resting 150s…\n")
+        time.sleep(150)
     return False
 
 
@@ -76,10 +80,20 @@ def main():
     primary = os.environ.get("RT_BENCH_CONFIG", "config4")
     chain = [(primary, (), {})]
     if primary != "config2":
-        for budget in ("1600000", "800000"):
-            chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
-        chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
-                                    "RT_BWD_UNIT_BUDGET": "1600000"}))
+        # Preflight the mesh path cheaply: on degraded-worker days ALL
+        # grid/BVH programs fault regardless of size — skip every config4
+        # rung after one small failed render instead of grinding through
+        # multi-minute compiles per rung.
+        if _guarded("fwd", primary, ("--width", "480", "--height", "270",
+                                     "--depth", "2"), attempts=1) is None:
+            sys.stderr.write("# mesh-path preflight failed; "
+                             "skipping mesh rungs\n")
+            chain = []
+        else:
+            for budget in ("1600000", "800000"):
+                chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
+            chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
+                                        "RT_BWD_UNIT_BUDGET": "1600000"}))
         c2 = ("--width", "1920", "--height", "1080", "--depth", "2")
         chain.append(("config2", c2, {"RT_BENCH_FUSED": "1"}))
         chain.append(("config2", c2, {}))

@@ -1,6 +1,7 @@
 """Unit tests for benchmark helpers (no device timing)."""
 
 import dataclasses
+import json
 
 from benchmarks.rays_per_sec import BWD_UNIT_BUDGET, _bands
 from raytracer_tpu.core.types import RenderOptions
@@ -26,3 +27,56 @@ def test_bands_cover_image_exactly():
 def test_single_band_when_small():
     opts = RenderOptions(width=128, height=128, max_depth=4)
     assert _bands(opts) == [(0, 128)]
+
+
+def _fake_phase(calls, mesh_ok):
+    """Build a _phase stand-in: config4 phases succeed iff mesh_ok."""
+    def fake(phase, config=None, extra=(), timeout=3000, env=None):
+        calls.append((phase, config, tuple(extra), dict(env or {})))
+        if phase == "probe":
+            return {"ok": True}
+        if config == "config4" and not mesh_ok:
+            return None
+        if phase == "fwd":
+            return {"fwd_s": 1e-3, "width": 1920, "height": 1080,
+                    "max_depth": 2 if config == "config2" else 4,
+                    "config": config, "device": "fake"}
+        if phase == "bwd":
+            return {"fwd_bwd_s": 2e-3, "bwd_bands": 1}
+        if phase == "count":
+            return {"rays_per_frame": 4.0e6}
+        raise AssertionError(phase)
+    return fake
+
+
+def _run_bench_main(monkeypatch, capsys, mesh_ok):
+    import bench
+    calls = []
+    monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.setattr(bench, "_phase", _fake_phase(calls, mesh_ok))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    return calls, json.loads(out[-1])
+
+
+def test_mesh_preflight_failure_skips_mesh_rungs(monkeypatch, capsys):
+    calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=False)
+    # Exactly one config4 fwd attempt: the small preflight render.
+    c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
+    assert len(c4_fwd) == 1
+    assert "480" in c4_fwd[0][2]
+    # Fallback lands on config2 and still reports a fwd+bwd metric.
+    assert result["metric"].endswith("config2")
+    assert "fwd_bwd" in result["metric"]
+    assert result["value"] > 0
+
+
+def test_mesh_preflight_success_runs_primary(monkeypatch, capsys):
+    calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
+    # Preflight first, then the full-size primary rung (no size override).
+    c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
+    assert len(c4_fwd) == 2
+    assert "480" in c4_fwd[0][2] and c4_fwd[1][2] == ()
+    assert result["metric"].endswith("config4")
+    assert result["value"] > 0
