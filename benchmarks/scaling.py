@@ -46,9 +46,19 @@ def run_scaling(config: str = "config2", width: int = 256, height: int = 256,
                         "pixrays_per_sec": width * height / best})
 
     base = results[0]
+    sim = jax.devices()[0].platform == "cpu"
     for r in results:
         ideal = base["pixrays_per_sec"] * r["devices"]
         r["efficiency"] = r["pixrays_per_sec"] / ideal
+        r["speedup"] = r["pixrays_per_sec"] / base["pixrays_per_sec"]
+        if sim:
+            # On the CPU simulator all N virtual devices share the host's
+            # cores AND the 1-device baseline already multi-threads across
+            # them, so ideal-N "efficiency" is unreachable by construction.
+            # Speedup > 1 is the meaningful signal here (the sharded program
+            # is not slower than the fused single-device one); ICI
+            # efficiency vs the ≥85% target needs a real pod slice.
+            r["sim_shared_cores"] = True
     return results
 
 
@@ -110,9 +120,15 @@ def main():
     for r in res:
         print(json.dumps(r))
     if len(res) > 1:
-        eff = res[-1]["efficiency"]
-        print(f"# {res[-1]['devices']}-device efficiency: {eff:.1%}",
-              file=sys.stderr)
+        last = res[-1]
+        if last.get("sim_shared_cores"):
+            print(f"# {last['devices']}-device CPU-sim speedup: "
+                  f"{last['speedup']:.2f}x (shared host cores — ideal-N "
+                  "efficiency not measurable off-pod; see run_scaling)",
+                  file=sys.stderr)
+        else:
+            print(f"# {last['devices']}-device efficiency: "
+                  f"{last['efficiency']:.1%}", file=sys.stderr)
 
 
 if __name__ == "__main__":
