@@ -45,14 +45,15 @@ def _phase(phase: str, config: str | None = None, extra=(),
     return None
 
 
-def _wait_healthy(max_wait: int = 1500) -> bool:
+def _wait_healthy(max_wait: int = 2000) -> bool:
     # PATIENT probing: a poisoned tunnel blocks in tcp_recvmsg for minutes,
     # and killing a blocked probe re-poisons it — the kill-retry loop never
-    # converges (observed 25+ min). One long-timeout probe rides it out;
-    # retry (after a rest) only when the probe exits on its own.
+    # converges (observed 25+ min). One 900 s probe (the measured patient
+    # window, CLAUDE.md rule 1) rides it out; retry (after a rest) only when
+    # the probe exits on its own. max_wait allows two full probe cycles.
     t0 = time.time()
     while time.time() - t0 < max_wait:
-        if _phase("probe", timeout=600) is not None:
+        if _phase("probe", timeout=900) is not None:
             return True
         sys.stderr.write("# TPU unhealthy; resting 150s…\n")
         time.sleep(150)
@@ -83,13 +84,17 @@ def main():
         # Preflight the mesh path cheaply: on degraded-worker days ALL
         # grid/BVH programs fault regardless of size — skip every config4
         # rung after one small failed render instead of grinding through
-        # multi-minute compiles per rung.
-        if _guarded("fwd", primary, ("--width", "480", "--height", "270",
-                                     "--depth", "2"), attempts=1) is None:
+        # multi-minute compiles per rung. Only a render that FAILED on a
+        # healthy device indicts the mesh path; if the probe never came up
+        # (transient tunnel poisoning) keep the rungs — the device may well
+        # recover before they run.
+        if _wait_healthy() and _phase(
+                "fwd", primary,
+                ("--width", "480", "--height", "270", "--depth", "2")) is None:
             sys.stderr.write("# mesh-path preflight failed; "
                              "skipping mesh rungs\n")
             chain = []
-        else:
+        if chain:
             for budget in ("1600000", "800000"):
                 chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
             chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",

@@ -8,9 +8,11 @@ itself publishes no numbers (BASELINE.json:13 "published": {}).
 Measurement discipline for this TPU stack (see memory/bench ordering notes):
 - the first device→host readback permanently degrades dispatch latency, so all
   timing happens before any readback;
-- a backward program over ≳1.4M pixels triggers a libtpu kernel fault, so
-  gradients run as per-band microbatches, each its own jit program (identical
-  gradient: per-band squared-error sums divided by the global pixel count);
+- a mesh (grid/BVH) program over the ~3M pixel×bounce-unit budget triggers a
+  libtpu kernel fault, so mesh-scene phases run as per-band microbatches, each
+  its own jit program (identical gradient: per-band squared-error sums divided
+  by the global pixel count); mesh-free scenes run full-frame in one program
+  (readback-verified safe at 1080p both directions);
 - phases run in separate subprocesses (bench.py) so a device fault in one
   phase cannot take down the others.
 
@@ -158,7 +160,7 @@ def phase_fwd(config, repeats=2, **kw):
     # The program-size budget applies to FORWARD grid programs too (verified:
     # 960x540xd4 ok, 1440x810xd4 kernel-faults) — band-split the frame into
     # one jit program per band; mesh-free scenes get a single band.
-    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
+    bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
     fns = []
     for r0, rows in bands:
         @jax.jit
@@ -185,7 +187,7 @@ def phase_bwd(config, repeats=2, **kw):
     # the program-size fault is specific to grid/BVH mesh programs; mesh-free
     # scenes run full-frame 1080p backward fine (readback-verified) — one
     # program saves the per-band dispatch on the headline fwd+bwd number
-    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
+    bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
 
     # target rendered band-wise (full-frame grid programs exceed the budget)
     tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
@@ -238,7 +240,7 @@ def phase_time(config, repeats=2, fwd_bwd=True, **kw):
 
 def phase_count(config, **kw):
     scene, cam, opts, tracer = _setup(config, **kw)
-    bands = _bands(opts) if tracer is not None else [(0, opts.height)]
+    bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
     f = jax.jit(lambda s, c, tr, r0, rows: render(
         s, c, opts, count_rays=True, tracer=tr, row0=r0, rows=rows)[1],
         static_argnames=("r0", "rows"))

@@ -4,7 +4,7 @@ The wavefront path (renderer.py) round-trips per-bounce ray state through HBM
 between XLA-fused stages; at 1080p that traffic (~hundreds of MB per frame)
 is the forward bottleneck on mesh-free scenes. This kernel keeps everything —
 raygen, the bounce loop, shadow rays, Phong shading — resident in
-VMEM/registers for one pixel tile per program (default (128, 512); Mosaic
+VMEM/registers for one pixel tile per program (default (32, 256); Mosaic
 register-tiles it internally), writing only the final RGB planes (~25 MB at
 1080p): the speed-of-light memory profile for this workload.
 

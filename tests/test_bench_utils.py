@@ -72,6 +72,25 @@ def test_mesh_preflight_failure_skips_mesh_rungs(monkeypatch, capsys):
     assert result["value"] > 0
 
 
+def test_transient_unhealthy_preflight_keeps_mesh_rungs(monkeypatch, capsys):
+    # If the probe never comes up at preflight time (transient tunnel
+    # poisoning), the mesh path is NOT indicted: keep every config4 rung.
+    import bench
+    calls = []
+    monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.setattr(bench, "_phase", _fake_phase(calls, mesh_ok=True))
+    health = iter([False])  # preflight probe fails; later probes succeed
+    monkeypatch.setattr(bench, "_wait_healthy",
+                        lambda max_wait=2000: next(health, True))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
+    # no small preflight render ran, but the full primary rung did
+    assert len(c4_fwd) == 1 and c4_fwd[0][2] == ()
+    assert result["metric"].endswith("config4")
+
+
 def test_mesh_preflight_success_runs_primary(monkeypatch, capsys):
     calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
     # Preflight first, then the full-size primary rung (no size override).
