@@ -34,8 +34,10 @@ def _phase(phase: str, config: str | None = None, extra=(),
     try:
         proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
                               timeout=timeout, env=run_env)
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(f"# phase {phase}: timeout\n")
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"")[-600:]
+        sys.stderr.write(f"# phase {phase}: timeout; partial stderr:\n"
+                         + tail.decode("utf-8", "replace") + "\n")
         return None
     for line in proc.stdout.splitlines():
         if line.startswith("PHASE_RESULT "):

@@ -174,6 +174,16 @@ def phase_fwd(config, repeats=2, **kw):
         outs = [f(eps, scene, cam, tracer) for f in fns]
         return outs[-1]  # chaining on the last band serializes the frame tail
 
+    # warm band-by-band with progress lines: if the phase times out, the
+    # partial stderr (surfaced by bench.py) says whether it died compiling
+    # band k or dispatching — compile-grind and tunnel-poison look identical
+    # from outside otherwise
+    z = jnp.zeros(())
+    for i, f in enumerate(fns):
+        print(f"# fwd band {i + 1}/{len(fns)} compile+warm…",
+              file=sys.stderr, flush=True)
+        jax.block_until_ready(f(z, scene, cam, tracer))
+    print("# fwd bands warm; timing…", file=sys.stderr, flush=True)
     img, t_fwd = _chained_time(fwd, repeats=repeats)
     float(img[0, 0, 0])  # validation readback — async faults surface here
     return {"config": config, "width": opts.width, "height": opts.height,
@@ -190,6 +200,8 @@ def phase_bwd(config, repeats=2, **kw):
     bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
 
     # target rendered band-wise (full-frame grid programs exceed the budget)
+    print(f"# bwd target render ({len(bands)} bands)…",
+          file=sys.stderr, flush=True)
     tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
         s, c, opts, tracer=tr, row0=r0, rows=rows)[0],
         static_argnames=("r0", "rows"))
@@ -220,6 +232,11 @@ def phase_bwd(config, repeats=2, **kw):
             g = gb if g is None else jax.tree.map(jnp.add, g, gb)
         return val, g
 
+    for i, vg in enumerate(vgs):
+        print(f"# bwd band {i + 1}/{len(vgs)} compile+warm…",
+              file=sys.stderr, flush=True)
+        jax.block_until_ready(vg(p0, scene, cam, target, tracer))
+    print("# bwd bands warm; timing…", file=sys.stderr, flush=True)
     (val, g), t_bwd = _chained_time(step, repeats=repeats)
     float(val)  # validation readback — async faults surface here
     return {"fwd_bwd_s": t_bwd, "bwd_bands": len(vgs)}
