@@ -104,8 +104,17 @@ def main():
         c2 = ("--width", "1920", "--height", "1080", "--depth", "2")
         chain.append(("config2", c2, {"RT_BENCH_FUSED": "1"}))
         chain.append(("config2", c2, {}))
+    # Overall wall-clock budget: a blocked phase costs its full timeout
+    # (~50 min) before failing, so a bad day could burn hours on dead mesh
+    # rungs. Past the deadline, skip ahead to the reliable mesh-free rungs
+    # so the driver always gets a metric.
+    deadline = time.time() + float(os.environ.get("RT_BENCH_DEADLINE_S",
+                                                  "5400"))
     t = used = extra = env = None
     for cfg, ex, ev in chain:
+        if time.time() > deadline and cfg != "config2":
+            sys.stderr.write(f"# deadline passed; skipping {cfg} {ev}\n")
+            continue
         t = _guarded("fwd", cfg, ex, env=ev, attempts=1)
         if t is not None:
             used, extra, env = cfg, ex, ev
@@ -116,10 +125,11 @@ def main():
                           "unit": "rays/s", "vs_baseline": 0,
                           "error": "fwd phase failed"}))
         return
-    b = _guarded("bwd", used, extra, env=env)
+    late = 2 if time.time() < deadline else 1
+    b = _guarded("bwd", used, extra, env=env, attempts=late)
     if b:
         t.update(b)
-    c = _guarded("count", used, extra, env=env)
+    c = _guarded("count", used, extra, env=env, attempts=late)
     n_rays = c["rays_per_frame"] if c else float(t["width"] * t["height"])
 
     kind = "fwd_bwd" if "fwd_bwd_s" in t else "fwd"
