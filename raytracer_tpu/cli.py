@@ -174,7 +174,7 @@ def main(argv=None):
                     choices=["auto", "none", "grid", "bvh", "fused"],
                     help="mesh winner-search backend (auto = grid when the "
                          "scene has triangles; fused = single-kernel forward "
-                         "for mesh-free scenes)")
+                         "for scenes without big meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
     pr.set_defaults(fn=cmd_render)

@@ -8,13 +8,21 @@ VMEM/registers for one pixel tile per program (default (32, 256); Mosaic
 register-tiles it internally), writing only the final RGB planes (~25 MB at
 1080p): the speed-of-light memory profile for this workload.
 
-Scope: mesh-free, glass-free scenes (spheres + planes, diffuse/glossy +
-mirror materials, checker planes, point lights) — configs 1/2/5 and the
-bench's mesh-free fallback. Scene and camera constants are BAKED into the
-compiled program (the TPU-native analog of the reference hard-coding its
-scene in `main()` — SURVEY §1 L5); rebuild + recompile on scene change. The
-differentiable/training path stays on the wavefront renderer — this kernel is
-the serving/benchmark forward.
+Scope: spheres + planes + SMALL flat-shaded triangle meshes (≤ MAX_FUSED_TRIS,
+baked like every other primitive), all Whitted materials including glass —
+configs 1/2/3/5 and the bench's mesh-free fallback. Big meshes (config4) stay
+on the grid/BVH tracers: baking 20k triangles would sweep every one per ray.
+Scene and camera constants are BAKED into the compiled program (the TPU-native
+analog of the reference hard-coding its scene in `main()` — SURVEY §1 L5);
+rebuild + recompile on scene change. The differentiable/training path stays on
+the wavefront renderer — this kernel is the serving/benchmark forward.
+
+The reference's `castRay(depth+1)` recursion (SURVEY §3.1) is statically
+unrolled depth-first inside the kernel: mirror lanes spawn one child, glass
+lanes two (reflect + refract), giving ≤ 2^(D+1)−1 inlined trace+shade bodies.
+Depth-first keeps only one ancestor chain of ray state live at a time (VMEM
+O(D), not O(2^D)); the per-node weights (kr, 1−kr) reproduce the wavefront
+renderer's throughput products up to fp association.
 
 Math is a line-for-line port of ops/geometry.py + ops/shade.py +
 renderer.bounce_step (docs/SPEC.md), so images agree with the default path to
@@ -30,35 +38,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.core.types import (
-    DIFFUSE_AND_GLOSSY, REFLECTION, Camera, RenderOptions, Scene)
+    DIFFUSE_AND_GLOSSY, REFLECTION, REFLECTION_AND_REFRACTION, Camera,
+    RenderOptions, Scene)
 
 _DET_EPS = 1e-8
 
-
+# Baked triangles are swept per ray like spheres/planes — fine for scene
+# geometry (Cornell walls), ruinous for real meshes (use GridTracer/BVH).
+MAX_FUSED_TRIS = 64
+# Glass doubles the unrolled recursion per bounce: 2^(D+1)-1 bodies. Past
+# D=5 (63 bodies) compile time and program size stop paying for themselves.
+MAX_GLASS_DEPTH = 5
 
 
 def supported(scene: Scene) -> bool:
-    """Fused path handles mesh-free, glass-free scenes only."""
-    import numpy as _np
-
-    scene_m = _np.asarray(scene.materials.mtype)
-    used = set()
-    if scene.spheres.count:
-        used |= set(_np.asarray(scene.spheres.mat_id).tolist())
-    if scene.planes.count:
-        used |= set(_np.asarray(scene.planes.mat_id).tolist())
-    mats_ok = all(scene_m[m] in (DIFFUSE_AND_GLOSSY, REFLECTION)
-                  for m in used)
-    return scene.meshes.count == 0 and mats_ok
+    """Fused path: all materials; meshes only if tiny + flat-shaded."""
+    mesh_ok = scene.meshes.count == 0 or (
+        scene.meshes.count <= MAX_FUSED_TRIS and not scene.meshes.smooth)
+    return bool(mesh_ok)
 
 
 class FusedWhitted:
     """Build once per (scene, camera, opts); call .render(row0, rows)."""
 
     def __init__(self, scene: Scene, camera: Camera, opts: RenderOptions,
-                 interpret: bool | None = None, tile: tuple = (32, 256)):
-        assert supported(scene), "fused path: mesh-free glass-free scenes only"
+                 interpret: bool | None = None, tile: tuple | None = None):
+        assert supported(scene), \
+            "fused path: meshes must be tiny (≤MAX_FUSED_TRIS) + flat-shaded"
         s = jax.tree.map(np.asarray, scene)
+        self._has_glass = bool(scene.has_glass)
+        assert not (self._has_glass and opts.max_depth > MAX_GLASS_DEPTH), \
+            f"fused glass recursion capped at depth {MAX_GLASS_DEPTH}"
         self._opts = opts
         if interpret is None:  # Mosaic lowering needs a real TPU
             interpret = jax.default_backend() != "tpu"
@@ -66,7 +76,11 @@ class FusedWhitted:
         # tile = pixels per kernel program. Mosaic splits the block onto
         # (8,128) VPU registers internally. 1080p sweep on v5e (config2, d2):
         # (8,128) 0.45 ms, (32,256) 0.30 ms, (64,512) 0.61 ms — mid-size
-        # tiles balance launch amortization against VMEM pressure.
+        # tiles balance launch amortization against VMEM pressure. Glass
+        # scenes keep a whole ancestor chain of ray state live (see module
+        # docstring) — halve the tile to stay comfortably inside VMEM.
+        if tile is None:
+            tile = (16, 256) if self._has_glass else (32, 256)
         self._tile = (int(tile[0]), int(tile[1]))
 
         mats = s.materials
@@ -85,6 +99,22 @@ class FusedWhitted:
                  alb2=tuple(map(float, s.planes.albedo2[i])),
                  **self._mat(mats, int(s.planes.mat_id[i])))
             for i in range(s.planes.count)]
+        self.tris = []
+        if s.meshes.count:
+            verts = np.asarray(s.meshes.verts, np.float32)
+            tris = np.asarray(s.meshes.tris)
+            for i in range(s.meshes.count):
+                v0, v1, v2 = (verts[tris[i, k]] for k in range(3))
+                e1, e2 = v1 - v0, v2 - v0
+                # flat normal exactly as surface_at: normalize(cross(e1,e2)) f32
+                cr = np.cross(e1, e2).astype(np.float32)
+                n2 = np.float32(np.dot(cr, cr))
+                inv = np.float32(1.0) / np.sqrt(n2) if n2 > 1e-12 else np.float32(1.0)
+                nrm = (cr * inv).astype(np.float32)
+                self.tris.append(
+                    dict(v0=tuple(map(float, v0)), e1=tuple(map(float, e1)),
+                         e2=tuple(map(float, e2)), n=tuple(map(float, nrm)),
+                         **self._mat(mats, int(s.meshes.mat_id[i]))))
         self.lights = [
             (tuple(map(float, s.lights.pos[i])),
              tuple(map(float, s.lights.intensity[i])))
@@ -102,7 +132,8 @@ class FusedWhitted:
                     kd=float(mats.kd[mid]), ks=float(mats.ks[mid]),
                     spec_n=float(mats.spec_n[mid]),
                     ior=float(mats.ior[mid]),
-                    mirror=int(mats.mtype[mid]) == REFLECTION)
+                    mirror=int(mats.mtype[mid]) == REFLECTION,
+                    glass=int(mats.mtype[mid]) == REFLECTION_AND_REFRACTION)
 
     # -- vector helpers on (3-tuple of [8,128]) ---------------------------
     @staticmethod
@@ -137,12 +168,33 @@ class FusedWhitted:
         t = jnp.where(valid, num / jnp.where(valid, denom, 1.0), -jnp.inf)
         return jnp.where(valid & (t > t_min), t, jnp.inf)
 
+    def _tri_t(self, o, d, tr, t_min):
+        # Möller–Trumbore with baked v0/e1/e2 (geometry.triangle_tuv port)
+        e1, e2, v0 = tr["e1"], tr["e2"], tr["v0"]
+        pv = (d[1] * e2[2] - d[2] * e2[1],
+              d[2] * e2[0] - d[0] * e2[2],
+              d[0] * e2[1] - d[1] * e2[0])
+        det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2]
+        ok = jnp.abs(det) > _DET_EPS
+        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+        tv = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
+        u = (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv
+        qv = (tv[1] * e1[2] - tv[2] * e1[1],
+              tv[2] * e1[0] - tv[0] * e1[2],
+              tv[0] * e1[1] - tv[1] * e1[0])
+        v = self._dot(d, qv) * inv
+        t = (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv
+        ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > t_min)
+        return jnp.where(ok, t, jnp.inf)
+
     def _occluded(self, o, d, max_t, t_min):
         occ = jnp.zeros_like(max_t, bool)
         for sp in self.spheres:
             occ |= self._sphere_t(o, d, sp, t_min) < max_t
         for pln in self.planes:
             occ |= self._plane_t(o, d, pln, t_min) < max_t
+        for tr in self.tris:
+            occ |= self._tri_t(o, d, tr, t_min) < max_t
         return occ
 
     # -- the kernel -------------------------------------------------------
@@ -150,8 +202,12 @@ class FusedWhitted:
         opts = self._opts
         bg = tuple(float(c) for c in opts.background)
         t_min, bias = opts.t_min, opts.bias
+        # list order = the SPEC tie order (sphere < plane < triangle, lower
+        # index) — the winner loop below keeps the FIRST of equal-t prims
         prims = ([("s", sp) for sp in self.spheres]
-                 + [("p", pln) for pln in self.planes])
+                 + [("p", pln) for pln in self.planes]
+                 + [("t", tr) for tr in self.tris])
+        has_glass = self._has_glass
         m = self.c2w
         TR, TC = self._tile
 
@@ -181,22 +237,25 @@ class FusedWhitted:
                  jnp.full((TR, TC), self.cam_pos[1]),
                  jnp.full((TR, TC), self.cam_pos[2]))
 
-            rad = [jnp.zeros((TR, TC), jnp.float32) for _ in range(3)]
-            thr = jnp.ones((TR, TC), jnp.float32)
-            alive = jnp.ones((TR, TC), bool)
+            def radiance(o, d, depth):
+                """Whitted castRay, statically unrolled depth-first.
 
-            for depth in range(opts.max_depth + 1):
-                # winner search (strict < keeps sphere<plane, lower index)
+                Returns the [TR,TC]×3 radiance of a unit-throughput ray;
+                ancestors scale by their (kr, 1−kr) weights — the product
+                telescopes to the wavefront renderer's throughput.
+                """
+                # winner search (strict < keeps sphere<plane<tri, low index)
                 best_t = jnp.full((TR, TC), jnp.inf)
                 win = jnp.full((TR, TC), -1, jnp.int32)
                 for i, (kind, prm) in enumerate(prims):
                     ti = (self._sphere_t(o, d, prm, t_min) if kind == "s"
-                          else self._plane_t(o, d, prm, t_min))
+                          else self._plane_t(o, d, prm, t_min) if kind == "p"
+                          else self._tri_t(o, d, prm, t_min))
                     better = ti < best_t
                     best_t = jnp.where(better, ti, best_t)
                     win = jnp.where(better, i, win)
-                valid = alive & (win >= 0)
-                tt = jnp.where(win >= 0, best_t, 0.0)
+                valid = win >= 0
+                tt = jnp.where(valid, best_t, 0.0)
                 p = tuple(o[k] + tt * d[k] for k in range(3))
 
                 # winner attributes (unrolled blends over the tiny scene)
@@ -207,6 +266,7 @@ class FusedWhitted:
                 spec_n = jnp.full((TR, TC), 1.0)
                 ior = jnp.full((TR, TC), 1.0)
                 is_mir = jnp.zeros((TR, TC), bool)
+                is_gls = jnp.zeros((TR, TC), bool)
                 for i, (kind, prm) in enumerate(prims):
                     msk = win == i
                     if kind == "s":
@@ -217,7 +277,7 @@ class FusedWhitted:
                         ai = (jnp.full((TR, TC), ai[0]),
                               jnp.full((TR, TC), ai[1]),
                               jnp.full((TR, TC), ai[2]))
-                    else:
+                    elif kind == "p":
                         ni = tuple(jnp.full((TR, TC), prm["n"][k])
                                    for k in range(3))
                         if prm["checker"]:
@@ -233,6 +293,11 @@ class FusedWhitted:
                         else:
                             ai = tuple(jnp.full((TR, TC), prm["albedo"][k])
                                        for k in range(3))
+                    else:  # triangle: baked flat normal + material albedo
+                        ni = tuple(jnp.full((TR, TC), prm["n"][k])
+                                   for k in range(3))
+                        ai = tuple(jnp.full((TR, TC), prm["albedo"][k])
+                                   for k in range(3))
                     for k in range(3):
                         nrm[k] = jnp.where(msk, ni[k], nrm[k])
                         alb[k] = jnp.where(msk, ai[k], alb[k])
@@ -242,12 +307,13 @@ class FusedWhitted:
                     ior = jnp.where(msk, prm["ior"], ior)
                     if prm["mirror"]:
                         is_mir |= msk
+                    if prm["glass"]:
+                        is_gls |= msk
                 nrm = tuple(nrm)
 
                 # miss → background
-                miss = alive & (win < 0)
-                for k in range(3):
-                    rad[k] += jnp.where(miss, thr * bg[k], 0.0)
+                rad = [jnp.where(valid, 0.0, jnp.float32(bg[k]))
+                       for k in range(3)]
 
                 # diffuse leaf → Phong + shadows (ops/shade.py port)
                 din = self._dot(d, nrm)
@@ -276,13 +342,12 @@ class FusedWhitted:
                     for k in range(3):
                         lamt[k] += vis * ldn * lint[k]
                         spec[k] += pw * lint[k]
-                is_diff = valid & ~is_mir
+                is_diff = valid & ~is_mir & ~is_gls
                 for k in range(3):
                     local = lamt[k] * alb[k] * kd + spec[k] * ks
-                    rad[k] += jnp.where(is_diff, thr * local, 0.0)
+                    rad[k] += jnp.where(is_diff, local, 0.0)
 
-                # mirror branch (geometry.fresnel port; no glass)
-                spec_m = valid & is_mir
+                # fresnel kr (geometry.fresnel port; kr=1 on TIR)
                 cosi = jnp.clip(din, -1.0, 1.0)
                 entering = cosi <= 0
                 etai = jnp.where(entering, 1.0, ior)
@@ -307,20 +372,62 @@ class FusedWhitted:
                 kr = jnp.where(no_tir, 0.5 * (rs * rs + rp * rp), 1.0)
 
                 if depth == opts.max_depth:
-                    w = jnp.where(spec_m, kr, 0.0)
+                    # children would exceed max_depth → each returns bg
+                    # (mirror: kr·bg; glass: kr·bg + (1−kr)·bg = bg, TIR incl.)
+                    w = jnp.where(valid & is_mir, kr,
+                                  jnp.where(valid & is_gls, 1.0, 0.0))
                     for k in range(3):
-                        rad[k] += thr * w * bg[k]
-                else:
-                    rdw = tuple(d[k] - 2.0 * din * nrm[k] for k in range(3))
-                    rinv = jax.lax.rsqrt(jnp.maximum(self._dot(rdw, rdw),
-                                                     1e-12))
-                    rd = tuple(rdw[k] * rinv for k in range(3))
-                    rside = jnp.where(self._dot(rd, nrm) < 0, -1.0, 1.0)
-                    o = tuple(p[k] + rside * bias * nrm[k] for k in range(3))
-                    d = rd
-                    thr = jnp.where(spec_m, thr * kr, 0.0)
-                    alive = spec_m
+                        rad[k] += w * bg[k]
+                    return rad
 
+                # reflect child (mirror AND glass lanes)
+                rdw = tuple(d[k] - 2.0 * din * nrm[k] for k in range(3))
+                rinv = jax.lax.rsqrt(jnp.maximum(self._dot(rdw, rdw),
+                                                 1e-12))
+                rd = tuple(rdw[k] * rinv for k in range(3))
+                rside = jnp.where(self._dot(rd, nrm) < 0, -1.0, 1.0)
+                ro = tuple(p[k] + rside * bias * nrm[k] for k in range(3))
+                cr = radiance(ro, rd, depth + 1)
+                w_r = jnp.where(valid & (is_mir | is_gls), kr, 0.0)
+                for k in range(3):
+                    rad[k] += w_r * cr[k]
+
+                if has_glass:
+                    # refract child (geometry.refract port; entering = cosi<0)
+                    ent_t = din < 0  # unclipped dot as in refract()'s cosi
+                    cosa_t = jnp.abs(jnp.clip(din, -1.0, 1.0))
+                    etai_t = jnp.where(ent_t, 1.0, ior)
+                    etat_t = jnp.where(ent_t, ior, 1.0)
+                    n_o = tuple(jnp.where(ent_t, nrm[k], -nrm[k])
+                                for k in range(3))
+                    eta = etai_t / etat_t
+                    kk = 1.0 - eta * eta * (1.0 - cosa_t * cosa_t)
+                    t_ok = kk >= 0
+                    sqk = jnp.where(t_ok,
+                                    jnp.sqrt(jnp.maximum(
+                                        jnp.where(t_ok, kk, 1.0), 1e-12)),
+                                    0.0)
+                    td = tuple(jnp.where(t_ok,
+                                         eta * d[k]
+                                         + (eta * cosa_t - sqk) * n_o[k],
+                                         0.0)
+                               for k in range(3))
+                    tn2 = self._dot(td, td)
+                    tinv = jnp.where(t_ok,
+                                     1.0 / jnp.sqrt(jnp.maximum(
+                                         jnp.where(t_ok, tn2, 1.0), 1e-12)),
+                                     1.0)
+                    td = tuple(td[k] * tinv for k in range(3))
+                    tside = jnp.where(self._dot(td, nrm) < 0, -1.0, 1.0)
+                    to = tuple(p[k] + tside * bias * nrm[k]
+                               for k in range(3))
+                    ct = radiance(to, td, depth + 1)
+                    w_t = jnp.where(valid & is_gls & t_ok, 1.0 - kr, 0.0)
+                    for k in range(3):
+                        rad[k] += w_t * ct[k]
+                return rad
+
+            rad = radiance(o, d, 0)
             r_ref[:] = jnp.clip(rad[0], 0.0, 1.0)
             g_ref[:] = jnp.clip(rad[1], 0.0, 1.0)
             b_ref[:] = jnp.clip(rad[2], 0.0, 1.0)

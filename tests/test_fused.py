@@ -24,9 +24,32 @@ def test_supported_gate():
     scene1, _, _ = presets.config1_sphere_plane()
     assert fused.supported(scene1)
     scene3, _, _ = presets.config3_cornell()
-    assert not fused.supported(scene3)  # mesh + glass
+    assert fused.supported(scene3)  # tiny flat mesh + glass: baked/unrolled
     scene4, _, _ = presets.config4_mesh(use_obj=False)
-    assert not fused.supported(scene4)  # mesh
+    assert not fused.supported(scene4)  # big smooth mesh → grid/BVH tracers
+
+
+def test_fused_config3_glass_cornell():
+    """Glass recursion + baked Cornell triangles vs the wavefront renderer.
+
+    Exercises refract/TIR/fresnel weighting and the sphere<plane<tri tie
+    order through the depth-first unrolled tree.
+    """
+    scene, cam, opts = presets.config3_cornell()
+    opts = dataclasses.replace(opts, width=96, height=96, max_depth=3)
+    ref = np.asarray(render(scene, cam, opts)[0])
+    img = np.asarray(_fw(scene, cam, opts).render())
+    # glass paths multiply 4 fresnel factors — association noise grows, but
+    # a wrong branch/weight would be O(0.5) over whole regions
+    assert_images_close(img, ref, tol=1e-2, max_bad_frac=0.003, name="fused3")
+    assert np.abs(img - ref).mean() < 1e-3
+
+
+def test_fused_glass_depth_cap():
+    scene, cam, opts = presets.config3_cornell()
+    opts = dataclasses.replace(opts, max_depth=fused.MAX_GLASS_DEPTH + 1)
+    with pytest.raises(AssertionError):
+        _fw(scene, cam, opts)
 
 
 def test_fused_config1_matches_wavefront():
