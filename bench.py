@@ -101,6 +101,12 @@ def main():
                 chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
             chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
                                         "RT_BWD_UNIT_BUDGET": "1600000"}))
+        # config3 (glass Cornell, 1024² d4): fwd = fused megakernel (no
+        # grid program at all — its 10 triangles are baked), bwd = wavefront
+        # with the scan tracer, so this rung dodges the grid-path fault
+        # entirely while still measuring a 4-bounce refractive workload.
+        chain.append(("config3", (),
+                      {"RT_BENCH_FUSED": "1", "RT_BENCH_TRACER": "none"}))
         c2 = ("--width", "1920", "--height", "1080", "--depth", "2")
         chain.append(("config2", c2, {"RT_BENCH_FUSED": "1"}))
         chain.append(("config2", c2, {}))

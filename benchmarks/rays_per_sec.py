@@ -135,9 +135,12 @@ def _chained_time(call, repeats=2, k=6):
 
 
 def phase_fwd(config, repeats=2, **kw):
-    scene, cam, opts, tracer = _setup(config, **kw)
+    use_fused = os.environ.get("RT_BENCH_FUSED") == "1"
+    # fused path sweeps baked triangles itself — skip the grid/BVH build
+    scene, cam, opts, tracer = _setup(
+        config, tracer_kind="none" if use_fused else None, **kw)
 
-    if os.environ.get("RT_BENCH_FUSED") == "1":
+    if use_fused:
         from raytracer_tpu.ops import fused as fused_mod
 
         # Build from the HOST preset scene, not the device_put one: the
@@ -145,10 +148,11 @@ def phase_fwd(config, repeats=2, **kw):
         # before timing — the permanent ~25 ms sync-dispatch poisoning
         # (CLAUDE.md rule 3) that invalidates the measurement.
         scene_h, cam_h, _ = presets.PRESETS[config]()
-        assert tracer is None and fused_mod.supported(scene_h), \
-            "RT_BENCH_FUSED needs a mesh-free glass-free scene"
-        tile = tuple(int(x) for x in
-                     os.environ.get("RT_FUSED_TILE", "32,256").split(","))
+        assert fused_mod.supported(scene_h), \
+            "RT_BENCH_FUSED needs a scene without big meshes"
+        tile_env = os.environ.get("RT_FUSED_TILE")
+        tile = (tuple(int(x) for x in tile_env.split(","))
+                if tile_env else None)
         fw = fused_mod.FusedWhitted(scene_h, cam_h, opts, tile=tile)
         img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
                                    repeats=repeats)
@@ -209,9 +213,12 @@ def phase_bwd(config, repeats=2, **kw):
         [tgt_fn(scene, cam, tracer, r0=r0, rows=rows) for r0, rows in bands],
         axis=0) * 0.9
     p0 = _grad_params(scene)
-    # bands are already sized under the backward budget; per-tile remat is
-    # unnecessary there and untested at band scale on this stack
-    opts_b = dataclasses.replace(opts, remat_tiles=False)
+    # bands are already sized under the backward budget for the plain
+    # wavefront, so per-tile remat is unnecessary — EXCEPT for glass scenes,
+    # whose ray buffers double per bounce (≈2^D/(D+1)× the residual state the
+    # band formula assumes): keep remat there to bound backward memory
+    opts_b = dataclasses.replace(
+        opts, remat_tiles=scene.has_glass and opts.remat_tiles)
     vgs = []
     for r0, rows in bands:
         def band_loss(p, s, c, timg, tr, r0=r0, rows=rows):
