@@ -44,6 +44,11 @@ class GridData:
     ov_v0: jax.Array      # [O,3] f32 — overflow tri SoA pre-gathered at build
     ov_e1: jax.Array      # [O,3] (device gathers don't fuse; a build-time
     ov_e2: jax.Array      # [O,3]  gather keeps the brute test pure broadcast)
+    cell_soa: jax.Array | None  # [ncells, C, 9] f32 v0|e1|e2 pre-gathered per
+    #                     cell at build (RT_GRID_PREGATHER): the DDA step then
+    #                     issues ONE contiguous gather instead of id + 3 vertex
+    #                     gathers — trades ~C·9·4 B/cell of HBM for gather ops,
+    #                     the dominant cost of the walk on TPU
     res: tuple            # static (nx, ny, nz)
     capacity: int         # static C
     n_tris: int           # static sentinel value (= index of degenerate pad tri)
@@ -52,13 +57,17 @@ class GridData:
 jax.tree_util.register_dataclass(
     GridData,
     data_fields=["bmin", "inv_cell", "cell_size", "cell_tris", "overflow",
-                 "ov_v0", "ov_e1", "ov_e2"],
+                 "ov_v0", "ov_e1", "ov_e2", "cell_soa"],
     meta_fields=["res", "capacity", "n_tris"])
 
 
 def build_grid(verts, tris, res=None, capacity: int = 24,
-               density: float = 4.0) -> GridData:
+               density: float = 4.0, pregather: bool | None = None) -> GridData:
     """Host-side grid build from concrete arrays (not traceable)."""
+    import os
+
+    if pregather is None:
+        pregather = bool(os.environ.get("RT_GRID_PREGATHER"))
     # f32-first: the native builder's ABI is f32; rounding here keeps the two
     # builders byte-identical even for f64 input (scenes store f32 anyway)
     verts = np.asarray(np.asarray(verts, np.float32), np.float64)
@@ -119,6 +128,20 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     ov_e2 = ((v2 - v0)[ov].astype(np.float32) if len(ov)
              else np.zeros((0, 3), np.float32))
 
+    cell_soa = None
+    if pregather:
+        # [ncells, C, 9]: rows of v0|e1|e2 per listed triangle; sentinel slots
+        # get the zero (degenerate, always-miss) triangle — identical fp
+        # semantics to gathering from the sentinel-padded SoA on device.
+        f32 = np.float32
+        # subtract IN f32 (not f64-then-round): tri_soa computes edges in f32
+        # on device, and the walk must be bitwise-identical either way
+        soa_rows = np.concatenate(
+            [v0.astype(f32), v1.astype(f32) - v0.astype(f32),
+             v2.astype(f32) - v0.astype(f32)], axis=1)   # [T, 9]
+        soa_rows = np.concatenate([soa_rows, np.zeros((1, 9), f32)])
+        cell_soa = jnp.asarray(soa_rows[np.minimum(cell_tris, t)])
+
     return GridData(
         bmin=jnp.asarray(bmin, jnp.float32),
         inv_cell=jnp.asarray(1.0 / cell, jnp.float32),
@@ -126,7 +149,7 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
         cell_tris=jnp.asarray(cell_tris),
         overflow=jnp.asarray(ov),
         ov_v0=jnp.asarray(ov_v0), ov_e1=jnp.asarray(ov_e1),
-        ov_e2=jnp.asarray(ov_e2),
+        ov_e2=jnp.asarray(ov_e2), cell_soa=cell_soa,
         res=(nx, ny, nz), capacity=capacity, n_tris=t)
 
 
@@ -213,7 +236,13 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
         cid = jnp.where(active, cid, 0)
         tids = grid.cell_tris[cid]                       # [N, C]
-        ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        if grid.cell_soa is not None:
+            soa = grid.cell_soa[cid]                     # [N, C, 9] one gather
+            ts, _, _ = geom.triangle_tuv(
+                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
+                soa[..., 3:6], soa[..., 6:9], t_min)
+        else:
+            ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
         ts = jnp.where(active[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
         ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
@@ -269,10 +298,10 @@ class GridTracer:
 
     @staticmethod
     def build(scene, capacity: int = 16, res=None,
-              fixed_steps: bool | None = None):
+              fixed_steps: bool | None = None, pregather: bool | None = None):
         grid = build_grid(np.asarray(scene.meshes.verts),
                           np.asarray(scene.meshes.tris), res=res,
-                          capacity=capacity)
+                          capacity=capacity, pregather=pregather)
         return GridTracer(scene, grid, fixed_steps=fixed_steps)
 
     def nearest(self, orig, direc, t_min, tri_chunk):

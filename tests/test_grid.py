@@ -59,6 +59,24 @@ def test_grid_render_small_capacity_overflow(mesh_scene):
     assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="grid-ovf")
 
 
+def test_grid_pregather_bitwise_identical(mesh_scene):
+    """cell_soa pre-gather is a pure layout change: the walk must return
+    bit-identical (t, idx) to the gather-per-step path on every ray."""
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import geometry as geom
+
+    tr0 = GridTracer.build(scene, pregather=False)
+    tr1 = GridTracer.build(scene, pregather=True)
+    assert tr1._grid.cell_soa is not None
+    dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
+    orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
+    h0 = tr0.nearest(orig, dirs, opts.t_min, opts.tri_chunk)
+    h1 = tr1.nearest(orig, dirs, opts.t_min, opts.tri_chunk)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.idx), np.asarray(h1.idx))
+    np.testing.assert_array_equal(np.asarray(h0.kind), np.asarray(h1.kind))
+
+
 def test_grid_walk_unit_cases():
     # single unit triangle in z=-3 plane
     verts = np.array([[-1, -1, -3], [1, -1, -3], [0, 1, -3]], np.float32)
