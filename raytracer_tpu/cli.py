@@ -66,13 +66,19 @@ def cmd_render(args):
             jax.block_until_ready(img)
         print(f"device trace written to {args.trace} "
               "(view with XProf/TensorBoard)")
+    elif args.ssaa > 1:
+        from raytracer_tpu.renderer import render_ssaa
+
+        img = render_ssaa(scene, cam, opts, factor=args.ssaa, tracer=tracer)
+        traced = (opts.width * opts.height * args.ssaa ** 2)  # ≥ primary rays
     else:
         img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
     img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = float(traced)
-    print(f"{args.config}: {opts.width}x{opts.height} depth={opts.max_depth} "
-          f"in {dt:.2f}s (with compile) — {rays:.3g} rays, "
+    aa = f" ssaa={args.ssaa}" if args.ssaa > 1 else ""
+    print(f"{args.config}: {opts.width}x{opts.height} depth={opts.max_depth}"
+          f"{aa} in {dt:.2f}s (with compile) — {rays:.3g} rays, "
           f"{rays / dt:.3g} rays/s")
     _save(args.out, img)
 
@@ -177,6 +183,9 @@ def main(argv=None):
                          "for scenes without big meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
+    pr.add_argument("--ssaa", type=int, default=1,
+                    help="supersampling factor: trace an N× frame and "
+                         "box-average N² subsamples per pixel")
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")

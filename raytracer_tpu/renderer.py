@@ -183,6 +183,24 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
+                factor: int = 2, tracer=None):
+    """Supersampled render → image [H,W,3]: trace a factor× frame through the
+    same projection and box-average factor² subsamples per pixel.
+
+    Genre-standard AA post-step (the reference genre's optional
+    "anti-aliasing" assignment stage); averaging happens after the [0,1]
+    clamp, like accumulating clamped castRay results into a big framebuffer.
+    """
+    assert factor >= 1
+    import dataclasses as _dc
+    hi = _dc.replace(opts, width=opts.width * factor,
+                     height=opts.height * factor)
+    img, _ = render(scene, camera, hi, tracer=tracer)
+    return img.reshape(opts.height, factor, opts.width, factor, 3).mean(
+        axis=(1, 3))
+
+
 def render_image(scene: Scene, camera: Camera, opts: RenderOptions):
     """Convenience: jitted image-only render."""
     return _render_jit(scene, camera, opts)[0]

@@ -166,3 +166,51 @@ class TestRaygen:
         want = np.array([x, y, -1.0])
         want /= np.linalg.norm(want)
         assert np.allclose(dirs[0, 0], want, atol=1e-6)
+
+
+class TestSSAA:
+    def test_box_average_of_hires(self):
+        """render_ssaa == manual 2×2 block mean of the 2× render."""
+        import dataclasses
+
+        from raytracer_tpu.models import presets
+        from raytracer_tpu.renderer import render, render_ssaa
+
+        scene, cam, opts = presets.config1_sphere_plane()
+        opts = dataclasses.replace(opts, width=64, height=48)
+        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2))
+        hi = dataclasses.replace(opts, width=128, height=96)
+        ref = np.asarray(render(scene, cam, hi)[0])
+        want = ref.reshape(48, 2, 64, 2, 3).mean(axis=(1, 3))
+        assert aa.shape == (48, 64, 3)
+        np.testing.assert_allclose(aa, want, atol=1e-6, rtol=0)
+
+    def test_factor1_is_plain_render(self):
+        import dataclasses
+
+        from raytracer_tpu.models import presets
+        from raytracer_tpu.renderer import render, render_ssaa
+
+        scene, cam, opts = presets.config1_sphere_plane()
+        opts = dataclasses.replace(opts, width=32, height=32)
+        a = np.asarray(render_ssaa(scene, cam, opts, factor=1))
+        b = np.asarray(render(scene, cam, opts)[0])
+        np.testing.assert_array_equal(a, b)
+
+    def test_smooths_edges(self):
+        """AA must strictly reduce total variation along the sphere silhouette."""
+        import dataclasses
+
+        from raytracer_tpu.models import presets
+        from raytracer_tpu.renderer import render, render_ssaa
+
+        scene, cam, opts = presets.config1_sphere_plane()
+        opts = dataclasses.replace(opts, width=64, height=64)
+        plain = np.asarray(render(scene, cam, opts)[0])
+        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2))
+
+        def tv(img):
+            return (np.abs(np.diff(img, axis=0)).sum()
+                    + np.abs(np.diff(img, axis=1)).sum())
+
+        assert tv(aa) < tv(plain)
