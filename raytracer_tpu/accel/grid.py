@@ -45,10 +45,11 @@ class GridData:
     ov_e1: jax.Array      # [O,3] (device gathers don't fuse; a build-time
     ov_e2: jax.Array      # [O,3]  gather keeps the brute test pure broadcast)
     cell_soa: jax.Array | None  # [ncells, C, 9] f32 v0|e1|e2 pre-gathered per
-    #                     cell at build (RT_GRID_PREGATHER): the DDA step then
-    #                     issues ONE contiguous gather instead of id + 3 vertex
-    #                     gathers — trades ~C·9·4 B/cell of HBM for gather ops,
-    #                     the dominant cost of the walk on TPU
+    #                     cell at build (RT_GRID_PREGATHER=1): the DDA step
+    #                     then issues 2 gathers (this + the id gather the
+    #                     winner index still needs) instead of 4 — trades
+    #                     ~C·9·4 B/cell of HBM for gather ops, the dominant
+    #                     cost of the walk on TPU
     res: tuple            # static (nx, ny, nz)
     capacity: int         # static C
     n_tris: int           # static sentinel value (= index of degenerate pad tri)
@@ -67,7 +68,7 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     import os
 
     if pregather is None:
-        pregather = bool(os.environ.get("RT_GRID_PREGATHER"))
+        pregather = os.environ.get("RT_GRID_PREGATHER") == "1"
     # f32-first: the native builder's ABI is f32; rounding here keeps the two
     # builders byte-identical even for f64 input (scenes store f32 anyway)
     verts = np.asarray(np.asarray(verts, np.float32), np.float64)

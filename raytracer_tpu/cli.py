@@ -37,12 +37,19 @@ def cmd_render(args):
     if kind == "fused":
         from raytracer_tpu.ops import fused
 
-        fw = fused.FusedWhitted(scene, cam, opts)
+        s = args.ssaa
+        hi = dataclasses.replace(opts, width=opts.width * s,
+                                 height=opts.height * s) if s > 1 else opts
+        fw = fused.FusedWhitted(scene, cam, hi)
         t0 = time.perf_counter()
         img = np.asarray(fw.render())
+        if s > 1:
+            img = img.reshape(opts.height, s, opts.width, s, 3).mean(
+                axis=(1, 3))
         dt = time.perf_counter() - t0
+        aa = f" ssaa={s}" if s > 1 else ""
         print(f"{args.config}: {opts.width}x{opts.height} "
-              f"depth={opts.max_depth} in {dt:.2f}s (fused kernel, with "
+              f"depth={opts.max_depth}{aa} in {dt:.2f}s (fused kernel, with "
               f"compile)")
         _save(args.out, img)
         return
@@ -54,25 +61,27 @@ def cmd_render(args):
         from raytracer_tpu.accel.bvh import BVHTracer
 
         tracer = BVHTracer.build(scene)
+    from raytracer_tpu.renderer import render_ssaa
+
+    def do_render():
+        if args.ssaa > 1:
+            return render_ssaa(scene, cam, opts, factor=args.ssaa,
+                               tracer=tracer, count_rays=True)
+        return render(scene, cam, opts, count_rays=True, tracer=tracer)
+
     t0 = time.perf_counter()
     if args.trace:
         from raytracer_tpu.utils.profiling import xprof_trace
 
         with xprof_trace(args.trace):
-            img, traced = render(scene, cam, opts, count_rays=True,
-                                 tracer=tracer)
+            img, traced = do_render()
             import jax
 
             jax.block_until_ready(img)
         print(f"device trace written to {args.trace} "
               "(view with XProf/TensorBoard)")
-    elif args.ssaa > 1:
-        from raytracer_tpu.renderer import render_ssaa
-
-        img = render_ssaa(scene, cam, opts, factor=args.ssaa, tracer=tracer)
-        traced = (opts.width * opts.height * args.ssaa ** 2)  # ≥ primary rays
     else:
-        img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer)
+        img, traced = do_render()
     img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = float(traced)

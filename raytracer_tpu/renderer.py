@@ -184,21 +184,43 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
-                factor: int = 2, tracer=None):
-    """Supersampled render → image [H,W,3]: trace a factor× frame through the
-    same projection and box-average factor² subsamples per pixel.
+                factor: int = 2, tracer=None, count_rays: bool = False,
+                band_rows: int | None = None):
+    """Supersampled render → (image [H,W,3], rays_traced): trace a factor×
+    frame through the same projection and box-average factor² subsamples per
+    pixel.
 
     Genre-standard AA post-step (the reference genre's optional
     "anti-aliasing" assignment stage); averaging happens after the [0,1]
     clamp, like accumulating clamped castRay results into a big framebuffer.
+
+    Mesh scenes auto-split the factor× frame into horizontal bands (one jit
+    program each): on this TPU stack a grid-traced program over ~3M
+    pixel×(depth+1) units kernel-faults (CLAUDE.md rule 5). `band_rows`
+    overrides the base-image rows per band (None = auto; whole frame for
+    mesh-free scenes).
     """
     assert factor >= 1
     import dataclasses as _dc
     hi = _dc.replace(opts, width=opts.width * factor,
                      height=opts.height * factor)
-    img, _ = render(scene, camera, hi, tracer=tracer)
-    return img.reshape(opts.height, factor, opts.width, factor, 3).mean(
-        axis=(1, 3))
+    if band_rows is None:
+        if scene.meshes.count:
+            budget = 2_400_000 // (opts.max_depth + 1)      # hi-res pixels
+            band_rows = max(1, budget // (hi.width * factor))
+        else:
+            band_rows = opts.height
+    band_rows = min(band_rows, opts.height)
+    imgs, traced = [], jnp.zeros((), jnp.float32)
+    for r0 in range(0, opts.height, band_rows):
+        rb = min(band_rows, opts.height - r0)
+        img, n = render(scene, camera, hi, count_rays=count_rays,
+                        tracer=tracer, row0=r0 * factor, rows=rb * factor)
+        imgs.append(img.reshape(rb, factor, opts.width, factor, 3)
+                    .mean(axis=(1, 3)))
+        traced = traced + n
+    img = imgs[0] if len(imgs) == 1 else jnp.concatenate(imgs, axis=0)
+    return img, traced
 
 
 def render_image(scene: Scene, camera: Camera, opts: RenderOptions):

@@ -178,7 +178,7 @@ class TestSSAA:
 
         scene, cam, opts = presets.config1_sphere_plane()
         opts = dataclasses.replace(opts, width=64, height=48)
-        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2))
+        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2)[0])
         hi = dataclasses.replace(opts, width=128, height=96)
         ref = np.asarray(render(scene, cam, hi)[0])
         want = ref.reshape(48, 2, 64, 2, 3).mean(axis=(1, 3))
@@ -193,7 +193,7 @@ class TestSSAA:
 
         scene, cam, opts = presets.config1_sphere_plane()
         opts = dataclasses.replace(opts, width=32, height=32)
-        a = np.asarray(render_ssaa(scene, cam, opts, factor=1))
+        a = np.asarray(render_ssaa(scene, cam, opts, factor=1)[0])
         b = np.asarray(render(scene, cam, opts)[0])
         np.testing.assert_array_equal(a, b)
 
@@ -207,10 +207,26 @@ class TestSSAA:
         scene, cam, opts = presets.config1_sphere_plane()
         opts = dataclasses.replace(opts, width=64, height=64)
         plain = np.asarray(render(scene, cam, opts)[0])
-        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2))
+        aa = np.asarray(render_ssaa(scene, cam, opts, factor=2)[0])
 
         def tv(img):
             return (np.abs(np.diff(img, axis=0)).sum()
                     + np.abs(np.diff(img, axis=1)).sum())
 
         assert tv(aa) < tv(plain)
+
+    def test_band_split_matches_full(self):
+        """Mesh scenes auto-band the hi-res frame; banding must not change
+        the image (same projection, same downsample blocks)."""
+        import dataclasses
+
+        from raytracer_tpu.models import presets
+        from raytracer_tpu.renderer import render_ssaa
+
+        scene, cam, opts = presets.config1_sphere_plane()
+        opts = dataclasses.replace(opts, width=48, height=36)
+        full = np.asarray(render_ssaa(scene, cam, opts, factor=2,
+                                      band_rows=36)[0])
+        banded = np.asarray(render_ssaa(scene, cam, opts, factor=2,
+                                        band_rows=7)[0])
+        np.testing.assert_allclose(banded, full, atol=1e-6, rtol=0)
