@@ -44,6 +44,10 @@ class BVHData:
     leaf_tris: jax.Array  # [n_nodes, C] i32 — triangle ids, sentinel = n_tris
     hit_link: jax.Array   # [8 * n_nodes] i32 — next node on AABB hit
     miss_link: jax.Array  # [8 * n_nodes] i32 — next node on AABB miss
+    leaf_soa: jax.Array | None  # [n_nodes, C, 9] f32 v0|e1|e2 pre-gathered at
+    #                     build (RT_BVH_PREGATHER=1): each walk step then does
+    #                     2 gathers (this + the id gather the winner index
+    #                     needs) instead of 4; ~C·9·4 B/node of extra HBM
     n_nodes: int          # static; link sentinel value = n_nodes (walk done)
     capacity: int         # static C
     n_tris: int           # static leaf sentinel (= index of degenerate pad tri)
@@ -51,25 +55,42 @@ class BVHData:
 
 jax.tree_util.register_dataclass(
     BVHData,
-    data_fields=["aabb_min", "aabb_max", "leaf_tris", "hit_link", "miss_link"],
+    data_fields=["aabb_min", "aabb_max", "leaf_tris", "hit_link", "miss_link",
+                 "leaf_soa"],
     meta_fields=["n_nodes", "capacity", "n_tris"])
 
 
-def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
+def _pregather_soa(verts_f32, tris, id_table, n_tris):
+    """[... , C] triangle-id table → [..., C, 9] v0|e1|e2 rows (f32 edges, as
+    tri_soa computes them on device); sentinel ids → the zero triangle."""
+    v0 = verts_f32[tris[:, 0]]
+    rows = np.concatenate(
+        [v0, verts_f32[tris[:, 1]] - v0, verts_f32[tris[:, 2]] - v0], axis=1)
+    rows = np.concatenate([rows, np.zeros((1, 9), np.float32)])
+    return jnp.asarray(rows[np.minimum(np.asarray(id_table), n_tris)])
+
+
+def build_bvh(verts, tris, leaf_size: int = 8,
+              pregather: bool | None = None) -> BVHData:
     """Host-side build from concrete arrays (not traceable).
 
     Median split on the widest centroid axis; leaves hold ≤ `leaf_size`
     triangles. Produces per-octant hit/miss threading so the device walk
     visits the near child first for any ray direction.
     """
+    import os
+
     from raytracer_tpu.utils.native import native_lib
 
+    if pregather is None:
+        pregather = os.environ.get("RT_BVH_PREGATHER") == "1"
     t = np.asarray(tris).shape[0]
     assert t > 0, "BVH over empty mesh"
     # Round vertices through f32 FIRST so both builders consume identical
     # values (scenes store f32; the native ABI is f32) — otherwise f64 input
     # with sub-f32 precision could order centroids differently per builder.
     verts = np.asarray(verts, np.float32)
+    tris_i = np.asarray(tris)
     lib = native_lib()
     if lib is not None and lib.has_bvh:
         amin, amax, leaf, hit, miss = lib.bvh_build(
@@ -78,6 +99,8 @@ def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
             aabb_min=jnp.asarray(amin), aabb_max=jnp.asarray(amax),
             leaf_tris=jnp.asarray(leaf), hit_link=jnp.asarray(hit),
             miss_link=jnp.asarray(miss),
+            leaf_soa=(_pregather_soa(verts, tris_i, leaf, t)
+                      if pregather else None),
             n_nodes=amin.shape[0], capacity=leaf_size, n_tris=t)
 
     verts = np.asarray(verts, np.float64)
@@ -157,12 +180,15 @@ def build_bvh(verts, tris, leaf_size: int = 8) -> BVHData:
             tstack.append((far, escape))
             tstack.append((near, far))
 
+    leaf_stack = np.stack(leaf_rows)
     return BVHData(
         aabb_min=jnp.asarray(np.stack(aabb_min), jnp.float32),
         aabb_max=jnp.asarray(np.stack(aabb_max), jnp.float32),
-        leaf_tris=jnp.asarray(np.stack(leaf_rows)),
+        leaf_tris=jnp.asarray(leaf_stack),
         hit_link=jnp.asarray(hit.reshape(-1)),
         miss_link=jnp.asarray(miss.reshape(-1)),
+        leaf_soa=(_pregather_soa(verts.astype(np.float32), tris_i, leaf_stack,
+                                 t) if pregather else None),
         n_nodes=n, capacity=leaf_size, n_tris=t)
 
 
@@ -196,7 +222,10 @@ def build_stacked_bvh(v0, e1, e2, n_shards: int, leaf_size: int = 8):
         verts = np.concatenate([v0[sl], v0[sl] + e1[sl], v0[sl] + e2[sl]])
         tris = np.stack([np.arange(ts), np.arange(ts) + ts,
                          np.arange(ts) + 2 * ts], axis=1).astype(np.int32)
-        parts.append(build_bvh(verts, tris, leaf_size=leaf_size))
+        # stacked arrays don't carry leaf_soa (the sharded walk gathers from
+        # its local SoA) — skip the pregather even if the env flag is set
+        parts.append(build_bvh(verts, tris, leaf_size=leaf_size,
+                               pregather=False))
 
     n_max = max(p.n_nodes for p in parts)
     S = n_shards
@@ -265,7 +294,15 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
         hit_box = active & (tn <= tf) & (tf > t_min) & (tn < bound)
 
         tids = bvh.leaf_tris[nc]                       # [N, C]
-        ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        if bvh.leaf_soa is not None:
+            from raytracer_tpu.ops import geometry as geom
+
+            soa = bvh.leaf_soa[nc]                     # [N, C, 9] one gather
+            ts, _, _ = geom.triangle_tuv(
+                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
+                soa[..., 3:6], soa[..., 6:9], t_min)
+        else:
+            ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
         ts = jnp.where(hit_box[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
         ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
@@ -305,9 +342,10 @@ class BVHTracer:
                                            jnp.asarray(e2, jnp.float32)))
 
     @staticmethod
-    def build(scene, leaf_size: int = 8):
+    def build(scene, leaf_size: int = 8, pregather: bool | None = None):
         bvh = build_bvh(np.asarray(scene.meshes.verts),
-                        np.asarray(scene.meshes.tris), leaf_size=leaf_size)
+                        np.asarray(scene.meshes.tris), leaf_size=leaf_size,
+                        pregather=pregather)
         return BVHTracer(scene, bvh)
 
     def nearest(self, orig, direc, t_min, tri_chunk):

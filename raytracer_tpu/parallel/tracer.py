@@ -110,7 +110,7 @@ def _local_bvh(g: TraceGeom, accel, accel_meta):
     return BVHData(
         aabb_min=accel["aabb_min"][0], aabb_max=accel["aabb_max"][0],
         leaf_tris=accel["leaf_tris"][0], hit_link=accel["hit_link"][0],
-        miss_link=accel["miss_link"][0],
+        miss_link=accel["miss_link"][0], leaf_soa=None,
         n_nodes=n_nodes, capacity=capacity, n_tris=ts)
 
 

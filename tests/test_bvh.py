@@ -201,3 +201,21 @@ def test_bvh_gradients_match_brute(mesh_scene):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gv_bvh), np.asarray(gv_ref),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_bvh_pregather_bitwise_identical(mesh_scene):
+    """leaf_soa pre-gather is a pure layout change: the walk must return
+    bit-identical (t, idx, kind) to the gather-per-step path."""
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import geometry as geom
+
+    tr0 = BVHTracer.build(scene, pregather=False)
+    tr1 = BVHTracer.build(scene, pregather=True)
+    assert tr1._bvh.leaf_soa is not None
+    dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
+    orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
+    h0 = tr0.nearest(orig, dirs, opts.t_min, opts.tri_chunk)
+    h1 = tr1.nearest(orig, dirs, opts.t_min, opts.tri_chunk)
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.idx), np.asarray(h1.idx))
+    np.testing.assert_array_equal(np.asarray(h0.kind), np.asarray(h1.kind))
