@@ -83,20 +83,40 @@ def main():
     primary = os.environ.get("RT_BENCH_CONFIG", "config4")
     chain = [(primary, (), {})]
     if primary != "config2":
-        # Preflight the mesh path cheaply: on degraded-worker days ALL
-        # grid/BVH programs fault regardless of size — skip every config4
-        # rung after one small failed render instead of grinding through
-        # multi-minute compiles per rung. Only a render that FAILED on a
-        # healthy device indicts the mesh path; if the probe never came up
-        # (transient tunnel poisoning) keep the rungs — the device may well
-        # recover before they run.
-        if _wait_healthy() and _phase(
-                "fwd", primary,
-                ("--width", "480", "--height", "270", "--depth", "2")) is None:
-            sys.stderr.write("# mesh-path preflight failed; "
-                             "skipping mesh rungs\n")
-            chain = []
-        if chain:
+        # Preflight ladder: on degraded-worker days grid/BVH programs fault —
+        # sometimes at ANY size, sometimes only above a (day-dependent)
+        # band-size boundary. A full rung that faults mid-timing hangs until
+        # its 50-min phase timeout, so probe the boundary with single
+        # band-sized renders (short timeouts) and keep only rungs whose
+        # per-program bands the device tolerates TODAY. Only a render that
+        # FAILED on a healthy device indicts the mesh path; if the probe
+        # never came up (transient tunnel poisoning) keep the rungs — the
+        # device may well recover before they run.
+        if _wait_healthy():
+            if _phase("fwd", primary,
+                      ("--width", "480", "--height", "270", "--depth", "2"),
+                      timeout=900) is None:
+                sys.stderr.write("# mesh-path preflight failed; "
+                                 "skipping mesh rungs\n")
+                chain = []
+            elif _wait_healthy() and _phase(
+                    "fwd", primary,
+                    ("--width", "1920", "--height", "270", "--depth", "4"),
+                    timeout=900) is None:
+                # plain-rung band scale (~2.6M units) faults today; probe the
+                # smallest rung's band (~0.8M units)
+                sys.stderr.write("# band-scale preflight (2.6M units) "
+                                 "failed\n")
+                if _wait_healthy() and _phase(
+                        "fwd", primary,
+                        ("--width", "1920", "--height", "83", "--depth", "4"),
+                        timeout=900) is not None:
+                    chain = [(primary, (), {"RT_BWD_UNIT_BUDGET": "800000"})]
+                else:
+                    sys.stderr.write("# small-band preflight failed too; "
+                                     "skipping mesh rungs\n")
+                    chain = []
+        if chain and chain[0][2] == {}:
             for budget in ("1600000", "800000"):
                 chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
             chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
