@@ -62,12 +62,16 @@ def _run_bench_main(monkeypatch, capsys, mesh_ok):
 
 def test_mesh_preflight_failure_skips_mesh_rungs(monkeypatch, capsys):
     calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=False)
-    # Exactly one config4 fwd attempt: the small preflight render.
+    # Exactly one config4 fwd attempt: the small preflight render (the
+    # band-scale preflights never run once it fails).
     c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
     assert len(c4_fwd) == 1
     assert "480" in c4_fwd[0][2]
-    # Fallback lands on config2 and still reports a fwd+bwd metric.
-    assert result["metric"].endswith("config2")
+    # Fallback lands on the fused config3 rung (no grid programs) and still
+    # reports a fwd+bwd metric.
+    assert result["metric"].endswith("config3")
+    c3 = [c for c in calls if c[0] == "fwd" and c[1] == "config3"]
+    assert c3 and c3[0][3].get("RT_BENCH_FUSED") == "1"
     assert "fwd_bwd" in result["metric"]
     assert result["value"] > 0
 
@@ -93,9 +97,45 @@ def test_transient_unhealthy_preflight_keeps_mesh_rungs(monkeypatch, capsys):
 
 def test_mesh_preflight_success_runs_primary(monkeypatch, capsys):
     calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
-    # Preflight first, then the full-size primary rung (no size override).
+    # Preflight ladder (small + band-scale), then the full-size primary rung.
     c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
-    assert len(c4_fwd) == 2
-    assert "480" in c4_fwd[0][2] and c4_fwd[1][2] == ()
+    assert len(c4_fwd) == 3
+    assert "480" in c4_fwd[0][2]      # small preflight
+    assert "270" in c4_fwd[1][2]      # band-scale preflight (1920x270 d4)
+    assert c4_fwd[2][2] == ()         # the real rung
     assert result["metric"].endswith("config4")
     assert result["value"] > 0
+
+
+def test_band_preflight_failure_keeps_only_small_rung(monkeypatch, capsys):
+    """Band-scale preflight fails, small-band preflight passes → only the
+    800k-budget rung survives (today's boundary is between them)."""
+    import bench
+    calls = []
+
+    def fake(phase, config=None, extra=(), timeout=3000, env=None):
+        calls.append((phase, config, tuple(extra), dict(env or {})))
+        if phase == "probe":
+            return {"ok": True}
+        if config == "config4" and "270" in extra and "1920" in extra:
+            return None  # the 2.6M-unit band faults
+        if phase == "fwd":
+            return {"fwd_s": 1e-3, "width": 1920, "height": 1080,
+                    "max_depth": 2 if config == "config2" else 4,
+                    "config": config, "device": "fake"}
+        if phase == "bwd":
+            return {"fwd_bwd_s": 2e-3, "bwd_bands": 1}
+        if phase == "count":
+            return {"rays_per_frame": 4.0e6}
+        raise AssertionError(phase)
+
+    monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.setattr(bench, "_phase", fake)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    full_rungs = [c for c in calls
+                  if c[0] == "fwd" and c[1] == "config4" and c[2] == ()]
+    assert len(full_rungs) == 1
+    assert full_rungs[0][3].get("RT_BWD_UNIT_BUDGET") == "800000"
+    assert result["metric"].endswith("config4")
