@@ -305,8 +305,10 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
             ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
         ts = jnp.where(hit_box[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
-        ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
-                                 axis=1)[:, 0]
+        # winner id without a per-step gather: lowest id among the t-minima
+        # (leaf rows are centroid-ordered, so this resolves exact within-leaf
+        # ties to the SPEC's lowest-index rule rather than slot order)
+        ic = jnp.min(jnp.where(ts <= tc[:, None], tids, bvh.n_tris), axis=1)
         better = tc < best_t
         best_t = jnp.where(better, tc, best_t)
         best_i = jnp.where(better, ic, best_i)
@@ -342,7 +344,12 @@ class BVHTracer:
                                            jnp.asarray(e2, jnp.float32)))
 
     @staticmethod
-    def build(scene, leaf_size: int = 8, pregather: bool | None = None):
+    def build(scene, leaf_size: int | None = None,
+              pregather: bool | None = None):
+        import os
+
+        if leaf_size is None:
+            leaf_size = int(os.environ.get("RT_BVH_LEAF", 8))
         bvh = build_bvh(np.asarray(scene.meshes.verts),
                         np.asarray(scene.meshes.tris), leaf_size=leaf_size,
                         pregather=pregather)

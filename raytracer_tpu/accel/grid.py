@@ -246,8 +246,9 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
             ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
         ts = jnp.where(active[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
-        ic = jnp.take_along_axis(tids, jnp.argmin(ts, axis=1)[:, None],
-                                 axis=1)[:, 0]
+        # winner id without a per-step gather: lowest id among the t-minima —
+        # identical to argmin-first (cell lists are ascending-id by build)
+        ic = jnp.min(jnp.where(ts <= tc[:, None], tids, grid.n_tris), axis=1)
         better = tc < best_t
         best_t = jnp.where(better, tc, best_t)
         best_i = jnp.where(better, ic, best_i)
@@ -298,11 +299,23 @@ class GridTracer:
                                            jnp.asarray(e2, jnp.float32)))
 
     @staticmethod
-    def build(scene, capacity: int = 16, res=None,
-              fixed_steps: bool | None = None, pregather: bool | None = None):
+    def build(scene, capacity: int | None = None, res=None,
+              density: float | None = None, fixed_steps: bool | None = None,
+              pregather: bool | None = None):
+        import os
+
+        # env overrides so perf sweeps (benchmarks/) can tune the build
+        # without plumbing flags through every harness
+        if capacity is None:
+            capacity = int(os.environ.get("RT_GRID_CAPACITY", 16))
+        if density is None:
+            density = float(os.environ.get("RT_GRID_DENSITY", 4.0))
+        if res is None and os.environ.get("RT_GRID_RES"):
+            res = tuple(int(x) for x in os.environ["RT_GRID_RES"].split(","))
         grid = build_grid(np.asarray(scene.meshes.verts),
                           np.asarray(scene.meshes.tris), res=res,
-                          capacity=capacity, pregather=pregather)
+                          capacity=capacity, density=density,
+                          pregather=pregather)
         return GridTracer(scene, grid, fixed_steps=fixed_steps)
 
     def nearest(self, orig, direc, t_min, tri_chunk):
