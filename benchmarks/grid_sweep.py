@@ -1,0 +1,77 @@
+"""Grid build-parameter sweep on the real TPU (config4 forward bands).
+
+Times `--phase fwd` subprocesses (one TPU process at a time, health-probed
+via bench.py's guarded machinery) across RT_GRID_CAPACITY / RT_GRID_DENSITY /
+RT_GRID_PREGATHER combos. The per-DDA-step HBM gather reads all `capacity`
+slots whether occupied or not, so the sweet spot is the smallest capacity
+whose overflow list (brute-tested against every ray once per walk) stays
+small; this harness measures where that is for the config4 mesh.
+
+Usage:  python -m benchmarks.grid_sweep            # full sweep on TPU
+        RT_SWEEP_COMBOS=16,4,0;12,8,1 python -m benchmarks.grid_sweep
+Output: one line per combo + a sorted summary table on stderr; JSON lines on
+stdout for machine reading.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (repo-root bench.py: _guarded/_wait_healthy)
+
+DEFAULT_COMBOS = [
+    (16, 4.0, 0),   # current default
+    (16, 4.0, 1),
+    (12, 8.0, 0),
+    (12, 8.0, 1),
+    (16, 8.0, 0),
+    (24, 2.0, 0),
+    (8, 16.0, 1),
+]
+
+
+def parse_combos(spec: str):
+    out = []
+    for part in spec.split(";"):
+        cap, dens, pg = part.split(",")
+        out.append((int(cap), float(dens), int(pg)))
+    return out
+
+
+def main():
+    spec = os.environ.get("RT_SWEEP_COMBOS")
+    combos = parse_combos(spec) if spec else DEFAULT_COMBOS
+    config = os.environ.get("RT_SWEEP_CONFIG", "config4")
+    extra = ("--width", os.environ.get("RT_SWEEP_W", "1920"),
+             "--height", os.environ.get("RT_SWEEP_H", "270"),
+             "--depth", os.environ.get("RT_SWEEP_D", "4"),
+             "--repeats", "2")
+    results = []
+    for cap, dens, pg in combos:
+        env = {"RT_GRID_CAPACITY": str(cap), "RT_GRID_DENSITY": str(dens),
+               "RT_GRID_PREGATHER": str(pg)}
+        tag = f"cap={cap} dens={dens} pg={pg}"
+        print(f"# sweep {tag}…", file=sys.stderr, flush=True)
+        res = bench._guarded("fwd", config, extra, attempts=1, env=env)
+        if res is None:
+            print(f"# {tag}: FAILED", file=sys.stderr, flush=True)
+            print(json.dumps({"combo": tag, "error": "failed"}), flush=True)
+            continue
+        res["combo"] = tag
+        results.append(res)
+        print(f"# {tag}: fwd {res['fwd_s']*1e3:.2f} ms", file=sys.stderr,
+              flush=True)
+        print(json.dumps(res), flush=True)
+
+    results.sort(key=lambda r: r["fwd_s"])
+    print("# ==== sweep summary (fastest first) ====", file=sys.stderr)
+    for r in results:
+        print(f"# {r['combo']:<26} {r['fwd_s']*1e3:8.2f} ms/band",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,12 +63,22 @@ jax.tree_util.register_dataclass(
 
 
 def build_grid(verts, tris, res=None, capacity: int = 24,
-               density: float = 4.0, pregather: bool | None = None) -> GridData:
-    """Host-side grid build from concrete arrays (not traceable)."""
+               density: float = 4.0, pregather: bool | None = None,
+               exact: bool | None = None) -> GridData:
+    """Host-side grid build from concrete arrays (not traceable).
+
+    exact=True bins a triangle only into cells it geometrically overlaps
+    (SAT, accel/satbin.py) instead of every cell its AABB touches — lower
+    occupancy ⇒ smaller viable capacity ⇒ less per-DDA-step gather traffic.
+    Rendered images are bitwise identical either way (every hit's cell always
+    lists its triangle; the winner fold evaluates the same per-triangle fp).
+    """
     import os
 
     if pregather is None:
         pregather = os.environ.get("RT_GRID_PREGATHER") == "1"
+    if exact is None:
+        exact = os.environ.get("RT_GRID_EXACT") == "1"
     # f32-first: the native builder's ABI is f32; rounding here keeps the two
     # builders byte-identical even for f64 input (scenes store f32 anyway)
     verts = np.asarray(np.asarray(verts, np.float32), np.float64)
@@ -105,7 +115,17 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     from raytracer_tpu.utils.native import native_lib
 
     lib = native_lib()
-    if lib is not None:
+    if exact:
+        if lib is not None and lib.has_grid_sat:
+            cell_tris, ov = lib.grid_build(verts.astype(np.float32), tris,
+                                           bmin, cell, (nx, ny, nz), capacity,
+                                           exact=True)
+        else:
+            from raytracer_tpu.accel.satbin import bin_exact
+
+            cell_tris, ov = bin_exact(verts, tris, bmin, cell, (nx, ny, nz),
+                                      capacity)
+    elif lib is not None:
         cell_tris, ov = lib.grid_build(verts.astype(np.float32), tris, bmin,
                                        cell, (nx, ny, nz), capacity)
     else:
@@ -301,7 +321,7 @@ class GridTracer:
     @staticmethod
     def build(scene, capacity: int | None = None, res=None,
               density: float | None = None, fixed_steps: bool | None = None,
-              pregather: bool | None = None):
+              pregather: bool | None = None, exact: bool | None = None):
         import os
 
         # env overrides so perf sweeps (benchmarks/) can tune the build
@@ -315,7 +335,7 @@ class GridTracer:
         grid = build_grid(np.asarray(scene.meshes.verts),
                           np.asarray(scene.meshes.tris), res=res,
                           capacity=capacity, density=density,
-                          pregather=pregather)
+                          pregather=pregather, exact=exact)
         return GridTracer(scene, grid, fixed_steps=fixed_steps)
 
     def nearest(self, orig, direc, t_min, tri_chunk):

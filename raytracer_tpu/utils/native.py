@@ -44,8 +44,12 @@ class _NativeLib:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),     # overflow
             ctypes.POINTER(ctypes.c_int),                     # n_overflow
         ]
-        # optional symbol: a librt_native.so built before bvhbuild.cpp existed
-        # must keep its other fast paths working
+        # optional symbols: a librt_native.so built before these existed must
+        # keep its other fast paths working
+        self.has_grid_sat = hasattr(self._c, "rt_grid_build_sat")
+        if self.has_grid_sat:
+            self._c.rt_grid_build_sat.restype = ctypes.c_int
+            self._c.rt_grid_build_sat.argtypes = self._c.rt_grid_build.argtypes
         self.has_bvh = hasattr(self._c, "rt_bvh_build")
         if not self.has_bvh:
             return
@@ -114,7 +118,8 @@ class _NativeLib:
             self._c.rt_free(ctypes.cast(p, ctypes.c_void_p))
         return out
 
-    def grid_build(self, verts, tris, bmin, cell, res, capacity):
+    def grid_build(self, verts, tris, bmin, cell, res, capacity,
+                   exact: bool = False):
         """→ (cell_tris [ncells, capacity] i32, overflow [O] i32)."""
         verts = np.ascontiguousarray(verts, np.float32)
         tris = np.ascontiguousarray(tris, np.int32)
@@ -123,7 +128,8 @@ class _NativeLib:
         ct = ctypes.POINTER(ctypes.c_int)()
         ov = ctypes.POINTER(ctypes.c_int)()
         nov = ctypes.c_int()
-        rc = self._c.rt_grid_build(
+        fn = self._c.rt_grid_build_sat if exact else self._c.rt_grid_build
+        rc = fn(
             verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             verts.shape[0],
             tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), tris.shape[0],

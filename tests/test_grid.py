@@ -115,6 +115,61 @@ def test_grid_axis_aligned_dir_zero_component():
     assert float(t[0]) == pytest.approx(4.0, abs=1e-5)
 
 
+def test_grid_exact_binning_subset_and_coverage(mesh_scene):
+    """SAT binning lists a subset of the AABB binning per cell, never loses a
+    triangle, and strictly reduces total occupancy on a curved mesh."""
+    scene, _, _ = mesh_scene
+    verts = np.asarray(scene.meshes.verts)
+    tris = np.asarray(scene.meshes.tris)
+    t = scene.meshes.count
+    ga = build_grid(verts, tris, capacity=16, exact=False)
+    gx = build_grid(verts, tris, capacity=16, exact=True)
+    ct_a = np.asarray(ga.cell_tris)
+    ct_x = np.asarray(gx.cell_tris)
+    for c in range(ct_a.shape[0]):
+        sa = set(ct_a[c].tolist()) - {t}
+        sx = set(ct_x[c].tolist()) - {t}
+        # exact ⊆ aabb unless the AABB cell overflowed (then ⊆ aabb ∪ spill)
+        assert sx <= sa | set(np.asarray(ga.overflow).tolist())
+    in_x = set(ct_x.ravel().tolist()) - {t}
+    in_x |= set(np.asarray(gx.overflow).tolist())
+    assert in_x == set(range(t))
+    assert (ct_x < t).sum() < (ct_a < t).sum()
+
+
+def test_grid_exact_render_bitwise_identical(mesh_scene):
+    """Exact binning is a pure candidate-set change: the walk still finds
+    every hit in (or before) the hit point's own cell, so rendered images
+    are bitwise identical to AABB binning."""
+    scene, cam, opts = mesh_scene
+    img_a = np.asarray(render(scene, cam, opts,
+                              tracer=GridTracer.build(scene, exact=False))[0])
+    img_x = np.asarray(render(scene, cam, opts,
+                              tracer=GridTracer.build(scene, exact=True))[0])
+    np.testing.assert_array_equal(img_x, img_a)
+
+
+def test_grid_exact_excludes_diagonal_corner_cell():
+    """A thin anti-diagonal sliver AABB-touches all 4 cells of a 2x2 grid but
+    geometrically misses the far corner cell — SAT must drop it."""
+    from raytracer_tpu.accel.satbin import tri_cells_overlap
+
+    v0 = np.array([0.0, 1.0, 0.0])
+    v1 = np.array([1.0, 0.0, 0.0])
+    v2 = np.array([0.98, -0.02, 0.0])
+    # 2x2 grid over ~[0,1.02]²: cell width 0.51; the sliver lies on/below the
+    # x+y=1 diagonal, which clears the far-corner cell [0.51,1.02]² (the
+    # (1,1,0) edge-cross axis separates with margin, no touching tie)
+    half = np.array([0.255, 0.255, 0.5])
+    centers = np.array([[0.255, 0.255, 0.0],
+                        [0.765, 0.255, 0.0],  # below diagonal: overlapped
+                        [0.255, 0.765, 0.0],  # above diagonal: overlapped
+                        [0.765, 0.765, 0.0]])  # far corner: clear miss
+    keep = tri_cells_overlap(v0, v1, v2, centers, half)
+    assert keep[1] and keep[2]
+    assert not keep[3]
+
+
 def test_grid_occlusion_matches_brute(mesh_scene):
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import trace as trace_ops

@@ -64,6 +64,24 @@ def test_grid_build_identical(mesh):
                                       np.asarray(getattr(py, name)), err_msg=name)
 
 
+def test_grid_build_sat_identical(mesh):
+    """Exact (SAT) binning: native and NumPy twins must agree byte-for-byte
+    (same f64 expression trees; gridbuild.o built with -ffp-contract=off)."""
+    from raytracer_tpu.accel.grid import build_grid
+
+    if not N.native_lib().has_grid_sat:
+        pytest.skip("librt_native.so predates rt_grid_build_sat; run make")
+    verts, tris = mesh
+    cc = build_grid(verts, tris, capacity=8, exact=True)
+    with _no_native():
+        py = build_grid(verts, tris, capacity=8, exact=True)
+    assert cc.res == py.res
+    for name in ("cell_tris", "overflow"):
+        np.testing.assert_array_equal(np.asarray(getattr(cc, name)),
+                                      np.asarray(getattr(py, name)),
+                                      err_msg=name)
+
+
 def test_bvh_build_identical(mesh):
     from raytracer_tpu.accel.bvh import build_bvh
 
