@@ -50,6 +50,9 @@ class GridData:
     #                     winner index still needs) instead of 4 — trades
     #                     ~C·9·4 B/cell of HBM for gather ops, the dominant
     #                     cost of the walk on TPU
+    cell_occ: jax.Array   # [ncells] i8 — 1 where the cell lists ≥1 triangle;
+    #                     lets the walk skip empty cells with a 1-byte gather
+    #                     instead of the full C-slot candidate gather
     res: tuple            # static (nx, ny, nz)
     capacity: int         # static C
     n_tris: int           # static sentinel value (= index of degenerate pad tri)
@@ -58,7 +61,7 @@ class GridData:
 jax.tree_util.register_dataclass(
     GridData,
     data_fields=["bmin", "inv_cell", "cell_size", "cell_tris", "overflow",
-                 "ov_v0", "ov_e1", "ov_e2", "cell_soa"],
+                 "ov_v0", "ov_e1", "ov_e2", "cell_soa", "cell_occ"],
     meta_fields=["res", "capacity", "n_tris"])
 
 
@@ -171,6 +174,9 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
         overflow=jnp.asarray(ov),
         ov_v0=jnp.asarray(ov_v0), ov_e1=jnp.asarray(ov_e1),
         ov_e2=jnp.asarray(ov_e2), cell_soa=cell_soa,
+        # slot 0 empty ⇔ cell empty (slots fill front-to-back; overflow only
+        # ever spills out of already-full cells)
+        cell_occ=jnp.asarray((cell_tris[:, 0] != t).astype(np.int8)),
         res=(nx, ny, nz), capacity=capacity, n_tris=t)
 
 
@@ -192,7 +198,8 @@ def _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min):
 
 
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
-              occlusion_max_t=None, fixed_steps: bool = False):
+              occlusion_max_t=None, fixed_steps: bool = False,
+              skip_steps: int | None = None):
     """Vectorized DDA over all rays → (best_t [N], best_idx [N]).
 
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
@@ -201,7 +208,16 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     data-dependent while_loop (identical results; a robustness fallback for
     runtimes that mishandle dynamic trip counts, at the cost of always
     walking the worst-case step count).
+    `skip_steps=S` (env RT_GRID_SKIP) prepends S empty-cell fast-forward
+    substeps to each iteration: a lane whose cell lists no triangles advances
+    on a 1-byte `cell_occ` gather instead of paying the full C-slot candidate
+    gather — results are bitwise identical (empty-cell evals only ever fold
+    INF), it just spends the expensive gathers on occupied cells.
     """
+    import os
+
+    if skip_steps is None:
+        skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -252,8 +268,26 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
         it, cell, tmax, best_t, best_i, active = state
         return jnp.any(active) & (it < max_steps)
 
+    def dda_step(cell, tmax, may):
+        """Advance `may` lanes one cell; returns (cell', tmax', still_in)."""
+        axis = jnp.argmin(tmax, axis=1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell_n = cell + onehot * step
+        tmax_n = tmax + onehot.astype(tmax.dtype) * tdelta
+        out = jnp.any((cell_n < 0) | (cell_n >= resv[None, :]), axis=1)
+        cell = jnp.where(may[:, None], cell_n, cell)
+        tmax = jnp.where(may[:, None], tmax_n, tmax)
+        return cell, tmax, ~(may & out)
+
     def body(state):
         it, cell, tmax, best_t, best_i, active = state
+        for _ in range(skip_steps):
+            cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+            occ = grid.cell_occ[jnp.where(active, cid, 0)] > 0
+            done = parked(best_t, jnp.min(tmax, axis=1))
+            may = active & ~done & ~occ
+            cell, tmax, still_in = dda_step(cell, tmax, may)
+            active &= still_in
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
         cid = jnp.where(active, cid, 0)
         tids = grid.cell_tris[cid]                       # [N, C]
@@ -273,17 +307,10 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
         best_t = jnp.where(better, tc, best_t)
         best_i = jnp.where(better, ic, best_i)
 
-        tmax_min = jnp.min(tmax, axis=1)
-        done = parked(best_t, tmax_min)
-        axis = jnp.argmin(tmax, axis=1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        cell_n = cell + onehot * step
-        tmax_n = tmax + onehot.astype(tmax.dtype) * tdelta
-        out = jnp.any((cell_n < 0) | (cell_n >= resv[None, :]), axis=1)
+        done = parked(best_t, jnp.min(tmax, axis=1))
         advance = active & ~done
-        cell = jnp.where(advance[:, None], cell_n, cell)
-        tmax = jnp.where(advance[:, None], tmax_n, tmax)
-        active = advance & ~out
+        cell, tmax, still_in = dda_step(cell, tmax, advance)
+        active = advance & still_in
         return it + 1, cell, tmax, best_t, best_i, active
 
     state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)

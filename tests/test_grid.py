@@ -170,6 +170,32 @@ def test_grid_exact_excludes_diagonal_corner_cell():
     assert not keep[3]
 
 
+def test_grid_skip_steps_bitwise_identical(mesh_scene):
+    """Empty-cell fast-forward (skip_steps) only skips INF-contributing
+    evals: (t, idx) must be bit-identical to the plain walk, both modes."""
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import geometry as geom
+
+    tr = GridTracer.build(scene)
+    v0, e1, e2 = tr._soa
+    dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
+    orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
+    for s in (2, 4):
+        t0, i0 = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                           skip_steps=0)
+        t1, i1 = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                           skip_steps=s)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
+        o0, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                          occlusion_max_t=mx, skip_steps=0)
+        o1, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                          occlusion_max_t=mx, skip_steps=s)
+        np.testing.assert_array_equal(np.asarray(o0) < 6.0,
+                                      np.asarray(o1) < 6.0)
+
+
 def test_grid_occlusion_matches_brute(mesh_scene):
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import trace as trace_ops
