@@ -41,19 +41,33 @@ def parse_combos(spec: str):
     return out
 
 
-def main():
-    spec = os.environ.get("RT_SWEEP_COMBOS")
-    combos = parse_combos(spec) if spec else DEFAULT_COMBOS
+def parse_envs(spec: str):
+    """';'-separated groups of 'K=V,K=V' → list of env dicts."""
+    out = []
+    for group in spec.split(";"):
+        env = {}
+        for kv in group.split(","):
+            k, v = kv.split("=", 1)
+            env[k.strip()] = v.strip()
+        out.append(env)
+    return out
+
+
+def _workload():
     config = os.environ.get("RT_SWEEP_CONFIG", "config4")
     extra = ("--width", os.environ.get("RT_SWEEP_W", "1920"),
              "--height", os.environ.get("RT_SWEEP_H", "270"),
              "--depth", os.environ.get("RT_SWEEP_D", "4"),
              "--repeats", "2")
+    return config, extra
+
+
+def run_envs(env_list):
+    """Time the workload under each env dict (RT_SWEEP_ENVS mode)."""
+    config, extra = _workload()
     results = []
-    for cap, dens, pg in combos:
-        env = {"RT_GRID_CAPACITY": str(cap), "RT_GRID_DENSITY": str(dens),
-               "RT_GRID_PREGATHER": str(pg)}
-        tag = f"cap={cap} dens={dens} pg={pg}"
+    for env in env_list:
+        tag = ",".join(f"{k}={v}" for k, v in sorted(env.items()))
         print(f"# sweep {tag}…", file=sys.stderr, flush=True)
         res = bench._guarded("fwd", config, extra, attempts=1, env=env)
         if res is None:
@@ -65,12 +79,21 @@ def main():
         print(f"# {tag}: fwd {res['fwd_s']*1e3:.2f} ms", file=sys.stderr,
               flush=True)
         print(json.dumps(res), flush=True)
-
     results.sort(key=lambda r: r["fwd_s"])
     print("# ==== sweep summary (fastest first) ====", file=sys.stderr)
     for r in results:
-        print(f"# {r['combo']:<26} {r['fwd_s']*1e3:8.2f} ms/band",
+        print(f"# {r['combo']:<48} {r['fwd_s']*1e3:8.2f} ms/band",
               file=sys.stderr)
+
+
+def main():
+    env_spec = os.environ.get("RT_SWEEP_ENVS")
+    if env_spec:
+        return run_envs(parse_envs(env_spec))
+    spec = os.environ.get("RT_SWEEP_COMBOS")
+    combos = parse_combos(spec) if spec else DEFAULT_COMBOS
+    run_envs([{"RT_GRID_CAPACITY": str(cap), "RT_GRID_DENSITY": str(dens),
+               "RT_GRID_PREGATHER": str(pg)} for cap, dens, pg in combos])
 
 
 if __name__ == "__main__":
