@@ -176,7 +176,7 @@ def test_grid_skip_steps_bitwise_identical(mesh_scene):
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import geometry as geom
 
-    tr = GridTracer.build(scene)
+    tr = GridTracer.build(scene, pregather=True)  # pregather: default layout
     v0, e1, e2 = tr._soa
     dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
     orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
