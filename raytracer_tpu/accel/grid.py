@@ -213,11 +213,20 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     on a 1-byte `cell_occ` gather instead of paying the full C-slot candidate
     gather — results are bitwise identical (empty-cell evals only ever fold
     INF), it just spends the expensive gathers on occupied cells.
+    With RT_GRID_FUSE=1 (pregather mode only), triangle ids ride as a 10th
+    f32 column of cell_soa (exact below 2^24 tris): each eval then issues ONE
+    [N,C,10] gather instead of [N,C,9] + [N,C] — bitwise-identical, layout
+    only.
     """
     import os
 
     if skip_steps is None:
         skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
+    soa10 = None
+    if (os.environ.get("RT_GRID_FUSE") == "1" and grid.cell_soa is not None
+            and grid.n_tris < (1 << 24)):
+        ids_f = grid.cell_tris.astype(jnp.float32)[..., None]
+        soa10 = jnp.concatenate([grid.cell_soa, ids_f], axis=2)
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -290,13 +299,20 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
             active &= still_in
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
         cid = jnp.where(active, cid, 0)
-        tids = grid.cell_tris[cid]                       # [N, C]
-        if grid.cell_soa is not None:
+        if soa10 is not None:
+            soa = soa10[cid]                             # [N, C, 10] one gather
+            tids = soa[..., 9].astype(jnp.int32)         # ids ride the SoA
+            ts, _, _ = geom.triangle_tuv(
+                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
+                soa[..., 3:6], soa[..., 6:9], t_min)
+        elif grid.cell_soa is not None:
+            tids = grid.cell_tris[cid]                   # [N, C]
             soa = grid.cell_soa[cid]                     # [N, C, 9] one gather
             ts, _, _ = geom.triangle_tuv(
                 orig[:, None, :], direc[:, None, :], soa[..., 0:3],
                 soa[..., 3:6], soa[..., 6:9], t_min)
         else:
+            tids = grid.cell_tris[cid]                   # [N, C]
             ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
         ts = jnp.where(active[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)

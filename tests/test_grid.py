@@ -196,6 +196,28 @@ def test_grid_skip_steps_bitwise_identical(mesh_scene):
                                       np.asarray(o1) < 6.0)
 
 
+def test_grid_fused_gather_bitwise_identical(mesh_scene, monkeypatch):
+    """RT_GRID_FUSE=1 (ids as SoA col 10) must return bit-identical results
+    to the two-gather pregather walk, nearest and any-hit modes."""
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import geometry as geom
+
+    tr = GridTracer.build(scene, pregather=True)
+    v0, e1, e2 = tr._soa
+    dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
+    orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
+    mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("RT_GRID_FUSE", flag)
+        t, i = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min)
+        to, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                          occlusion_max_t=mx)
+        out[flag] = (np.asarray(t), np.asarray(i), np.asarray(to) < 6.0)
+    for a, b in zip(out["0"], out["1"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_grid_occlusion_matches_brute(mesh_scene):
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import trace as trace_ops
