@@ -78,8 +78,8 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     """
     import os
 
-    if pregather is None:
-        pregather = os.environ.get("RT_GRID_PREGATHER") == "1"
+    if pregather is None:  # default ON: 1.67x on TPU (BASELINE.md sweep)
+        pregather = os.environ.get("RT_GRID_PREGATHER", "1") != "0"
     if exact is None:
         exact = os.environ.get("RT_GRID_EXACT") == "1"
     # f32-first: the native builder's ABI is f32; rounding here keeps the two
@@ -368,11 +368,14 @@ class GridTracer:
         import os
 
         # env overrides so perf sweeps (benchmarks/) can tune the build
-        # without plumbing flags through every harness
+        # without plumbing flags through every harness. Defaults = the
+        # benchmarks/grid_sweep.py winner on TPU v5e (BASELINE.md):
+        # capacity 12 / density 8 / pregather on = 0.28 ms vs 0.55 ms for the
+        # old 16/4/off on the config4 1920x270 d4 band.
         if capacity is None:
-            capacity = int(os.environ.get("RT_GRID_CAPACITY", 16))
+            capacity = int(os.environ.get("RT_GRID_CAPACITY", 12))
         if density is None:
-            density = float(os.environ.get("RT_GRID_DENSITY", 4.0))
+            density = float(os.environ.get("RT_GRID_DENSITY", 8.0))
         if res is None and os.environ.get("RT_GRID_RES"):
             res = tuple(int(x) for x in os.environ["RT_GRID_RES"].split(","))
         grid = build_grid(np.asarray(scene.meshes.verts),
