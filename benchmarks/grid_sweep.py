@@ -8,7 +8,9 @@ whose overflow list (brute-tested against every ray once per walk) stays
 small; this harness measures where that is for the config4 mesh.
 
 Usage:  python -m benchmarks.grid_sweep            # full sweep on TPU
-        RT_SWEEP_COMBOS=16,4,0;12,8,1 python -m benchmarks.grid_sweep
+        RT_SWEEP_COMBOS='16,4,0;12,8,1' python -m benchmarks.grid_sweep
+        RT_SWEEP_ENVS='RT_BENCH_TRACER=bvh,RT_BVH_LEAF=16;RT_GRID_SKIP=4' \
+            python -m benchmarks.grid_sweep        # arbitrary env combos
 Output: one line per combo + a sorted summary table on stderr; JSON lines on
 stdout for machine reading.
 """
@@ -23,7 +25,7 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402  (repo-root bench.py: _guarded/_wait_healthy)
 
 DEFAULT_COMBOS = [
-    (16, 4.0, 0),   # current default
+    (16, 4.0, 0),   # pre-sweep defaults (shipping default is now 12/8/1)
     (16, 4.0, 1),
     (12, 8.0, 0),
     (12, 8.0, 1),

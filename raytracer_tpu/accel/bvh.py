@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracer_tpu.accel.grid import _eval_tris, _pad_soa
+from raytracer_tpu.accel.grid import _eval_candidates, _pad_soa
 
 INF = jnp.inf
 
@@ -44,30 +44,48 @@ class BVHData:
     leaf_tris: jax.Array  # [n_nodes, C] i32 — triangle ids, sentinel = n_tris
     hit_link: jax.Array   # [8 * n_nodes] i32 — next node on AABB hit
     miss_link: jax.Array  # [8 * n_nodes] i32 — next node on AABB miss
-    leaf_soa: jax.Array | None  # [n_nodes, C, 9] f32 v0|e1|e2 pre-gathered at
-    #                     build (RT_BVH_PREGATHER=1): each walk step then does
-    #                     2 gathers (this + the id gather the winner index
-    #                     needs) instead of 4; ~C·9·4 B/node of extra HBM
+    leaf_soa: jax.Array | None  # [n_nodes, C, 10] f32 v0|e1|e2|id pre-gathered
+    #                     at build (RT_BVH_PREGATHER=1): each walk step then
+    #                     does ONE leaf gather — ids ride column 9 (f32, exact
+    #                     below 2^24 tris; 9-col + id gather above that)
     n_nodes: int          # static; link sentinel value = n_nodes (walk done)
     capacity: int         # static C
     n_tris: int           # static leaf sentinel (= index of degenerate pad tri)
+    aabb6: jax.Array | None = None   # [n_nodes, 6] min|max packed at build —
+    #                     one slab gather per step instead of two
+    links2: jax.Array | None = None  # [8*n_nodes, 2] hit|miss packed at build
+    #                     (None on the stacked per-shard path → split arrays)
 
 
 jax.tree_util.register_dataclass(
     BVHData,
     data_fields=["aabb_min", "aabb_max", "leaf_tris", "hit_link", "miss_link",
-                 "leaf_soa"],
+                 "leaf_soa", "aabb6", "links2"],
     meta_fields=["n_nodes", "capacity", "n_tris"])
 
 
 def _pregather_soa(verts_f32, tris, id_table, n_tris):
-    """[... , C] triangle-id table → [..., C, 9] v0|e1|e2 rows (f32 edges, as
-    tri_soa computes them on device); sentinel ids → the zero triangle."""
+    """[... , C] triangle-id table → [..., C, 10] v0|e1|e2|id rows (f32 edges,
+    as tri_soa computes them on device); sentinel ids → the zero triangle
+    with id = n_tris. Ids ride as f32 (exact below 2^24 tris; 9-col fallback
+    + separate id gather above that)."""
     v0 = verts_f32[tris[:, 0]]
     rows = np.concatenate(
         [v0, verts_f32[tris[:, 1]] - v0, verts_f32[tris[:, 2]] - v0], axis=1)
     rows = np.concatenate([rows, np.zeros((1, 9), np.float32)])
+    if n_tris < (1 << 24):
+        ids_col = np.arange(n_tris + 1, dtype=np.float32)[:, None]
+        rows = np.concatenate([rows, ids_col], axis=1)
     return jnp.asarray(rows[np.minimum(np.asarray(id_table), n_tris)])
+
+
+def _pack_fused(amin, amax, hit, miss):
+    """Build-time fused gather layouts: aabb [n,6], links [8n,2]."""
+    aabb6 = jnp.concatenate([jnp.asarray(amin, jnp.float32),
+                             jnp.asarray(amax, jnp.float32)], axis=1)
+    links2 = jnp.stack([jnp.asarray(hit).reshape(-1),
+                        jnp.asarray(miss).reshape(-1)], axis=1)
+    return aabb6, links2
 
 
 def build_bvh(verts, tris, leaf_size: int = 8,
@@ -95,13 +113,15 @@ def build_bvh(verts, tris, leaf_size: int = 8,
     if lib is not None and lib.has_bvh:
         amin, amax, leaf, hit, miss = lib.bvh_build(
             verts, np.asarray(tris, np.int32), leaf_size)
+        aabb6, links2 = _pack_fused(amin, amax, hit, miss)
         return BVHData(
             aabb_min=jnp.asarray(amin), aabb_max=jnp.asarray(amax),
             leaf_tris=jnp.asarray(leaf), hit_link=jnp.asarray(hit),
             miss_link=jnp.asarray(miss),
             leaf_soa=(_pregather_soa(verts, tris_i, leaf, t)
                       if pregather else None),
-            n_nodes=amin.shape[0], capacity=leaf_size, n_tris=t)
+            n_nodes=amin.shape[0], capacity=leaf_size, n_tris=t,
+            aabb6=aabb6, links2=links2)
 
     verts = np.asarray(verts, np.float64)
     tris = np.asarray(tris, np.int64)
@@ -181,6 +201,9 @@ def build_bvh(verts, tris, leaf_size: int = 8,
             tstack.append((near, far))
 
     leaf_stack = np.stack(leaf_rows)
+    aabb6, links2 = _pack_fused(np.stack(aabb_min).astype(np.float32),
+                                np.stack(aabb_max).astype(np.float32),
+                                hit.reshape(-1), miss.reshape(-1))
     return BVHData(
         aabb_min=jnp.asarray(np.stack(aabb_min), jnp.float32),
         aabb_max=jnp.asarray(np.stack(aabb_max), jnp.float32),
@@ -189,7 +212,8 @@ def build_bvh(verts, tris, leaf_size: int = 8,
         miss_link=jnp.asarray(miss.reshape(-1)),
         leaf_soa=(_pregather_soa(verts.astype(np.float32), tris_i, leaf_stack,
                                  t) if pregather else None),
-        n_nodes=n, capacity=leaf_size, n_tris=t)
+        n_nodes=n, capacity=leaf_size, n_tris=t,
+        aabb6=aabb6, links2=links2)
 
 
 def build_stacked_bvh(v0, e1, e2, n_shards: int, leaf_size: int = 8):
@@ -259,26 +283,16 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
     found (any-hit mode); best_t < max_t then means occluded.
 
-    Gather-fusion prologue (RT_BVH_FUSE=0 to disable): node AABBs are packed
-    [n,6], hit/miss links [8n,2], and in pregather mode the triangle ids ride
-    as a 10th f32 column of leaf_soa (exact for n_tris < 2^24) — one tiny
-    scene-sized concat per call buys 3 gathers per walk step instead of 6.
-    Results are bitwise identical; this is layout only.
+    Gather layout: build_bvh packs node AABBs [n,6] (aabb6), hit/miss links
+    [8n,2] (links2), and in pregather mode the triangle ids as a 10th f32
+    leaf_soa column — 3 gathers per walk step instead of 6, built once at
+    build time. The stacked per-shard path passes aabb6/links2=None and takes
+    the split-array fallback.
     """
-    import os
-
     n_rays = orig.shape[0]
     nn = bvh.n_nodes
     v0p, e1p, e2p = _pad_soa(v0, e1, e2)
-
-    fuse = os.environ.get("RT_BVH_FUSE", "1") != "0"
-    aabb6 = links2 = soa10 = None
-    if fuse:
-        aabb6 = jnp.concatenate([bvh.aabb_min, bvh.aabb_max], axis=1)
-        links2 = jnp.stack([bvh.hit_link, bvh.miss_link], axis=1)
-        if bvh.leaf_soa is not None and bvh.n_tris < (1 << 24):
-            ids_f = bvh.leaf_tris.astype(jnp.float32)[..., None]
-            soa10 = jnp.concatenate([bvh.leaf_soa, ids_f], axis=2)
+    aabb6, links2 = bvh.aabb6, bvh.links2
 
     inv_d = jnp.where(jnp.abs(direc) > 1e-12, 1.0 / direc, 1e12)
     octant = ((direc[:, 0] < 0).astype(jnp.int32)
@@ -314,32 +328,17 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
         bound = prune if occlusion_max_t is not None else best_t
         hit_box = active & (tn <= tf) & (tf > t_min) & (tn < bound)
 
-        if soa10 is not None:
-            from raytracer_tpu.ops import geometry as geom
-
-            soa = soa10[nc]                            # [N, C, 10] one gather
-            tids = soa[..., 9].astype(jnp.int32)       # ids ride the SoA
-            ts, _, _ = geom.triangle_tuv(
-                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
-                soa[..., 3:6], soa[..., 6:9], t_min)
-        elif bvh.leaf_soa is not None:
-            from raytracer_tpu.ops import geometry as geom
-
-            tids = bvh.leaf_tris[nc]                   # [N, C]
-            soa = bvh.leaf_soa[nc]                     # [N, C, 9] one gather
-            ts, _, _ = geom.triangle_tuv(
-                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
-                soa[..., 3:6], soa[..., 6:9], t_min)
-        else:
-            tids = bvh.leaf_tris[nc]                   # [N, C]
-            ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        ts, tids = _eval_candidates(orig, direc, nc, bvh.leaf_soa,
+                                    bvh.leaf_tris, v0p, e1p, e2p, t_min)
         ts = jnp.where(hit_box[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
         # winner id without a per-step gather: lowest id among the t-minima
         # (leaf rows are centroid-ordered, so this resolves exact within-leaf
         # ties to the SPEC's lowest-index rule rather than slot order)
         ic = jnp.min(jnp.where(ts <= tc[:, None], tids, bvh.n_tris), axis=1)
-        better = tc < best_t
+        # SPEC tie order on exact-t ties ACROSS steps too (lowest id wins,
+        # not first-found) — removes visit-order dependence within the walk
+        better = (tc < best_t) | ((tc == best_t) & (ic < best_i))
         best_t = jnp.where(better, tc, best_t)
         best_i = jnp.where(better, ic, best_i)
 

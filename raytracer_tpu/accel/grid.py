@@ -44,12 +44,14 @@ class GridData:
     ov_v0: jax.Array      # [O,3] f32 — overflow tri SoA pre-gathered at build
     ov_e1: jax.Array      # [O,3] (device gathers don't fuse; a build-time
     ov_e2: jax.Array      # [O,3]  gather keeps the brute test pure broadcast)
-    cell_soa: jax.Array | None  # [ncells, C, 9] f32 v0|e1|e2 pre-gathered per
-    #                     cell at build (RT_GRID_PREGATHER=1): the DDA step
-    #                     then issues 2 gathers (this + the id gather the
-    #                     winner index still needs) instead of 4 — trades
-    #                     ~C·9·4 B/cell of HBM for gather ops, the dominant
-    #                     cost of the walk on TPU
+    cell_soa: jax.Array | None  # [ncells, C, 10] f32 v0|e1|e2|id pre-gathered
+    #                     per cell at build (pregather mode, the default): the
+    #                     DDA step then issues ONE gather — the winner's
+    #                     triangle id rides as column 9 (f32, exact below 2^24
+    #                     tris; falls back to [.., 9] + an id gather above
+    #                     that) instead of 4 separate vertex/id gathers.
+    #                     Gather COUNT, not bytes, dominates the walk on TPU
+    #                     (BASELINE.md sweep: pregather ≈1.7×).
     cell_occ: jax.Array   # [ncells] i8 — 1 where the cell lists ≥1 triangle;
     #                     lets the walk skip empty cells with a 1-byte gather
     #                     instead of the full C-slot candidate gather
@@ -73,13 +75,19 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
     exact=True bins a triangle only into cells it geometrically overlaps
     (SAT, accel/satbin.py) instead of every cell its AABB touches — lower
     occupancy ⇒ smaller viable capacity ⇒ less per-DDA-step gather traffic.
-    Rendered images are bitwise identical either way (every hit's cell always
-    lists its triangle; the winner fold evaluates the same per-triangle fp).
+    Rendered images are identical up to exact-t tie association at cell
+    boundaries (every hit's cell always lists its triangle and the winner
+    fold evaluates the same per-triangle fp, but a tie candidate sitting just
+    past the parking cell can resolve differently) — the same knife-edge set
+    the golden tests already tolerate. Measured no faster than AABB binning
+    at fixed capacity on TPU v5e (BASELINE.md sweep): AABB over-binning lets
+    rays park a cell earlier; kept for the lower-capacity builds it enables.
     """
     import os
 
-    if pregather is None:  # default ON: 1.67x on TPU (BASELINE.md sweep)
-        pregather = os.environ.get("RT_GRID_PREGATHER", "1") != "0"
+    if pregather is None:  # default ON: 1.67x on TPU (BASELINE.md sweep);
+        # "" and "0" both disable (VAR= is this repo's standard off idiom)
+        pregather = os.environ.get("RT_GRID_PREGATHER", "1") not in ("", "0")
     if exact is None:
         exact = os.environ.get("RT_GRID_EXACT") == "1"
     # f32-first: the native builder's ABI is f32; rounding here keeps the two
@@ -154,9 +162,11 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
 
     cell_soa = None
     if pregather:
-        # [ncells, C, 9]: rows of v0|e1|e2 per listed triangle; sentinel slots
-        # get the zero (degenerate, always-miss) triangle — identical fp
-        # semantics to gathering from the sentinel-padded SoA on device.
+        # [ncells, C, 10]: rows of v0|e1|e2|id per listed triangle; sentinel
+        # slots get the zero (degenerate, always-miss) triangle with id = t —
+        # identical fp semantics to gathering from the sentinel-padded SoA on
+        # device. Ids ride as f32 (exact below 2^24 tris; 9-col fallback +
+        # separate id gather above that).
         f32 = np.float32
         # subtract IN f32 (not f64-then-round): tri_soa computes edges in f32
         # on device, and the walk must be bitwise-identical either way
@@ -164,6 +174,9 @@ def build_grid(verts, tris, res=None, capacity: int = 24,
             [v0.astype(f32), v1.astype(f32) - v0.astype(f32),
              v2.astype(f32) - v0.astype(f32)], axis=1)   # [T, 9]
         soa_rows = np.concatenate([soa_rows, np.zeros((1, 9), f32)])
+        if t < (1 << 24):
+            ids_col = np.arange(t + 1, dtype=f32)[:, None]
+            soa_rows = np.concatenate([soa_rows, ids_col], axis=1)  # [T+1,10]
         cell_soa = jnp.asarray(soa_rows[np.minimum(cell_tris, t)])
 
     return GridData(
@@ -197,6 +210,31 @@ def _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min):
     return t
 
 
+def _eval_candidates(orig, direc, idx, soa, tids_tab, v0p, e1p, e2p, t_min):
+    """Candidate eval at table rows `idx` [N] → (ts [N,C], tids [N,C]).
+
+    Shared by the grid DDA and BVH walks. Three layouts, identical fp:
+    10-col pre-gathered SoA (ids ride column 9; ONE gather), 9-col SoA
+    (+ separate id gather), or id gather + per-vertex gathers.
+    """
+    if soa is not None and soa.shape[-1] == 10:
+        s = soa[idx]
+        tids = s[..., 9].astype(jnp.int32)
+        ts, _, _ = geom.triangle_tuv(
+            orig[:, None, :], direc[:, None, :], s[..., 0:3], s[..., 3:6],
+            s[..., 6:9], t_min)
+    elif soa is not None:
+        tids = tids_tab[idx]
+        s = soa[idx]
+        ts, _, _ = geom.triangle_tuv(
+            orig[:, None, :], direc[:, None, :], s[..., 0:3], s[..., 3:6],
+            s[..., 6:9], t_min)
+    else:
+        tids = tids_tab[idx]
+        ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+    return ts, tids
+
+
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
               occlusion_max_t=None, fixed_steps: bool = False,
               skip_steps: int | None = None):
@@ -212,21 +250,18 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     substeps to each iteration: a lane whose cell lists no triangles advances
     on a 1-byte `cell_occ` gather instead of paying the full C-slot candidate
     gather — results are bitwise identical (empty-cell evals only ever fold
-    INF), it just spends the expensive gathers on occupied cells.
-    With RT_GRID_FUSE=1 (pregather mode only), triangle ids ride as a 10th
-    f32 column of cell_soa (exact below 2^24 tris): each eval then issues ONE
-    [N,C,10] gather instead of [N,C,9] + [N,C] — bitwise-identical, layout
-    only.
+    INF), it just spends the expensive gathers on occupied cells. Measured a
+    LOSER on TPU v5e at every S tried (BASELINE.md sweep) — kept as an option.
+
+    NOTE on trace-time env reads: `skip_steps`/`fixed_steps` fall back to env
+    at trace time, so inside one process a flag change after the first jit
+    of a given shape is ignored (cached executable). GridTracer resolves them
+    at build time instead; prefer rebuilding the tracer to mutating env.
     """
     import os
 
     if skip_steps is None:
         skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
-    soa10 = None
-    if (os.environ.get("RT_GRID_FUSE") == "1" and grid.cell_soa is not None
-            and grid.n_tris < (1 << 24)):
-        ids_f = grid.cell_tris.astype(jnp.float32)[..., None]
-        soa10 = jnp.concatenate([grid.cell_soa, ids_f], axis=2)
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -299,27 +334,16 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
             active &= still_in
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
         cid = jnp.where(active, cid, 0)
-        if soa10 is not None:
-            soa = soa10[cid]                             # [N, C, 10] one gather
-            tids = soa[..., 9].astype(jnp.int32)         # ids ride the SoA
-            ts, _, _ = geom.triangle_tuv(
-                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
-                soa[..., 3:6], soa[..., 6:9], t_min)
-        elif grid.cell_soa is not None:
-            tids = grid.cell_tris[cid]                   # [N, C]
-            soa = grid.cell_soa[cid]                     # [N, C, 9] one gather
-            ts, _, _ = geom.triangle_tuv(
-                orig[:, None, :], direc[:, None, :], soa[..., 0:3],
-                soa[..., 3:6], soa[..., 6:9], t_min)
-        else:
-            tids = grid.cell_tris[cid]                   # [N, C]
-            ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
+        ts, tids = _eval_candidates(orig, direc, cid, grid.cell_soa,
+                                    grid.cell_tris, v0p, e1p, e2p, t_min)
         ts = jnp.where(active[:, None], ts, INF)
         tc = jnp.min(ts, axis=1)
         # winner id without a per-step gather: lowest id among the t-minima —
         # identical to argmin-first (cell lists are ascending-id by build)
         ic = jnp.min(jnp.where(ts <= tc[:, None], tids, grid.n_tris), axis=1)
-        better = tc < best_t
+        # SPEC tie order on exact-t ties ACROSS steps too (lowest id wins,
+        # not first-found) — removes visit-order dependence within the walk
+        better = (tc < best_t) | ((tc == best_t) & (ic < best_i))
         best_t = jnp.where(better, tc, best_t)
         best_i = jnp.where(better, ic, best_i)
 
@@ -346,7 +370,8 @@ class GridTracer:
     resulting object is a pytree-of-arrays closure safe to pass through jit.
     """
 
-    def __init__(self, scene, grid: GridData, fixed_steps: bool | None = None):
+    def __init__(self, scene, grid: GridData, fixed_steps: bool | None = None,
+                 skip_steps: int | None = None):
         import os
 
         from raytracer_tpu.core.types import as_jax
@@ -356,6 +381,11 @@ class GridTracer:
         if fixed_steps is None:
             fixed_steps = bool(os.environ.get("RT_GRID_FIXED_STEPS"))
         self._fixed = fixed_steps
+        # resolved at BUILD time (not trace time) so a rebuilt tracer always
+        # reflects the current env even under jit caching
+        if skip_steps is None:
+            skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
+        self._skip = skip_steps
         v0, e1, e2 = self._scene.meshes.tri_soa()
         self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
                                            jnp.asarray(e1, jnp.float32),
@@ -372,10 +402,17 @@ class GridTracer:
         # benchmarks/grid_sweep.py winner on TPU v5e (BASELINE.md):
         # capacity 12 / density 8 / pregather on = 0.28 ms vs 0.55 ms for the
         # old 16/4/off on the config4 1920x270 d4 band.
+        if pregather is None:
+            pregather = os.environ.get("RT_GRID_PREGATHER", "1") \
+                not in ("", "0")
         if capacity is None:
             capacity = int(os.environ.get("RT_GRID_CAPACITY", 12))
         if density is None:
-            density = float(os.environ.get("RT_GRID_DENSITY", 8.0))
+            # density 8 WITHOUT pregather is a known kernel-faulting program
+            # shape on this TPU stack (CLAUDE.md) — the knobs were co-tuned,
+            # so a lone pregather-off falls back to the safe density 4
+            density = float(os.environ.get("RT_GRID_DENSITY",
+                                           8.0 if pregather else 4.0))
         if res is None and os.environ.get("RT_GRID_RES"):
             res = tuple(int(x) for x in os.environ["RT_GRID_RES"].split(","))
         grid = build_grid(np.asarray(scene.meshes.verts),
@@ -396,7 +433,7 @@ class GridTracer:
             tri_chunk)
         v0, e1, e2 = self._soa
         tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                           fixed_steps=self._fixed)
+                           fixed_steps=self._fixed, skip_steps=self._skip)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
@@ -413,7 +450,8 @@ class GridTracer:
                                  orig, direc, max_t, t_min, tri_chunk)
         v0, e1, e2 = self._soa
         tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                          occlusion_max_t=max_t, fixed_steps=self._fixed)
+                          occlusion_max_t=max_t, fixed_steps=self._fixed,
+                          skip_steps=self._skip)
         return occ | (tb < max_t)
 
 
@@ -423,15 +461,15 @@ _EMPTY_MESHES = _Meshes.empty()
 
 jax.tree_util.register_pytree_node(
     GridTracer,
-    lambda tr: ((tr._scene, tr._grid, tr._soa), tr._fixed),
+    lambda tr: ((tr._scene, tr._grid, tr._soa), (tr._fixed, tr._skip)),
     lambda aux, ch: _grid_tracer_unflatten(aux, ch))
 
 
-def _grid_tracer_unflatten(fixed, children):
+def _grid_tracer_unflatten(aux, children):
     scene, grid, soa = children
     obj = GridTracer.__new__(GridTracer)
     obj._scene = scene
     obj._grid = grid
     obj._soa = soa
-    obj._fixed = fixed
+    obj._fixed, obj._skip = aux
     return obj

@@ -203,28 +203,34 @@ def test_bvh_gradients_match_brute(mesh_scene):
                                rtol=1e-3, atol=1e-5)
 
 
-def test_bvh_gather_fusion_bitwise_identical(mesh_scene, monkeypatch):
-    """The fused-gather layout (aabb [n,6], links [8n,2], ids as SoA col 10)
-    must return bit-identical results to the split-array walk, in both
+def test_bvh_gather_fusion_bitwise_identical(mesh_scene):
+    """The build-time fused layout (aabb6 [n,6], links2 [8n,2], ids as SoA
+    col 10) must return bit-identical results to the split-array fallback the
+    stacked per-shard path uses (aabb6/links2=None, 9-col SoA), in both
     nearest and any-hit modes, with and without pregather."""
-    scene, cam, opts = mesh_scene
+    import dataclasses
+
     from raytracer_tpu.accel.bvh import bvh_walk
     from raytracer_tpu.ops import geometry as geom
 
+    scene, cam, opts = mesh_scene
     dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
     orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
     mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
     for pg in (False, True):
         tr = BVHTracer.build(scene, pregather=pg)
+        assert tr._bvh.aabb6 is not None and tr._bvh.links2 is not None
+        split = dataclasses.replace(
+            tr._bvh, aabb6=None, links2=None,
+            leaf_soa=(tr._bvh.leaf_soa[..., :9] if pg else None))
         v0, e1, e2 = tr._soa
-        out = {}
-        for flag in ("0", "1"):
-            monkeypatch.setenv("RT_BVH_FUSE", flag)
-            t, i = bvh_walk(tr._bvh, v0, e1, e2, orig, dirs, opts.t_min)
-            to, _ = bvh_walk(tr._bvh, v0, e1, e2, orig, dirs, opts.t_min,
+        out = []
+        for b in (tr._bvh, split):
+            t, i = bvh_walk(b, v0, e1, e2, orig, dirs, opts.t_min)
+            to, _ = bvh_walk(b, v0, e1, e2, orig, dirs, opts.t_min,
                              occlusion_max_t=mx)
-            out[flag] = (np.asarray(t), np.asarray(i), np.asarray(to) < 6.0)
-        for a, b in zip(out["0"], out["1"]):
+            out.append((np.asarray(t), np.asarray(i), np.asarray(to) < 6.0))
+        for a, b in zip(out[0], out[1]):
             np.testing.assert_array_equal(a, b)
 
 

@@ -196,25 +196,27 @@ def test_grid_skip_steps_bitwise_identical(mesh_scene):
                                       np.asarray(o1) < 6.0)
 
 
-def test_grid_fused_gather_bitwise_identical(mesh_scene, monkeypatch):
-    """RT_GRID_FUSE=1 (ids as SoA col 10) must return bit-identical results
-    to the two-gather pregather walk, nearest and any-hit modes."""
+def test_grid_fused_id_column_bitwise_identical(mesh_scene):
+    """The 10-col pregathered SoA (ids ride column 9) must return bit-identical
+    results to the 9-col + id-gather layout (the >=2^24-tris fallback),
+    nearest and any-hit modes."""
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import geometry as geom
 
     tr = GridTracer.build(scene, pregather=True)
+    assert tr._grid.cell_soa.shape[-1] == 10
+    g9 = dataclasses.replace(tr._grid, cell_soa=tr._grid.cell_soa[..., :9])
     v0, e1, e2 = tr._soa
     dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
     orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
     mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
-    out = {}
-    for flag in ("0", "1"):
-        monkeypatch.setenv("RT_GRID_FUSE", flag)
-        t, i = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min)
-        to, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+    out = []
+    for g in (tr._grid, g9):
+        t, i = grid_walk(g, v0, e1, e2, orig, dirs, opts.t_min)
+        to, _ = grid_walk(g, v0, e1, e2, orig, dirs, opts.t_min,
                           occlusion_max_t=mx)
-        out[flag] = (np.asarray(t), np.asarray(i), np.asarray(to) < 6.0)
-    for a, b in zip(out["0"], out["1"]):
+        out.append((np.asarray(t), np.asarray(i), np.asarray(to) < 6.0))
+    for a, b in zip(out[0], out[1]):
         np.testing.assert_array_equal(a, b)
 
 
