@@ -26,7 +26,13 @@ def cmd_render(args):
     from raytracer_tpu.models import presets
     from raytracer_tpu.renderer import render
 
-    scene, cam, opts = presets.PRESETS[args.config]()
+    if args.scene:
+        from raytracer_tpu.io.scenefile import load_scene
+
+        scene, cam, opts = load_scene(args.scene)
+        args.config = args.scene
+    else:
+        scene, cam, opts = presets.PRESETS[args.config]()
     if args.width:
         opts = dataclasses.replace(opts, width=args.width,
                                    height=args.height or args.width)
@@ -166,6 +172,16 @@ def cmd_optimize(args):
     print("wrote", args.out)
 
 
+def cmd_export(args):
+    """Dump a preset as an editable scene text file (render --scene reads it)."""
+    from raytracer_tpu.io.scenefile import save_scene
+    from raytracer_tpu.models import presets
+
+    scene, cam, opts = presets.PRESETS[args.config]()
+    save_scene(args.out, scene, cam, opts)
+    print("wrote", args.out)
+
+
 def cmd_bench(args):
     from benchmarks.rays_per_sec import run_bench
 
@@ -179,6 +195,9 @@ def main(argv=None):
     pr = sub.add_parser("render")
     pr.add_argument("--config", default="config2",
                     choices=["config1", "config2", "config3", "config4"])
+    pr.add_argument("--scene", default="",
+                    help="render a scene text file instead of a preset "
+                         "(format: docs/SPEC.md / io/scenefile.py)")
     pr.add_argument("--out", default="out.png")
     pr.add_argument("--width", type=int, default=0)
     pr.add_argument("--height", type=int, default=0)
@@ -208,6 +227,12 @@ def main(argv=None):
     po.add_argument("--ckpt-every", type=int, default=25)
     po.add_argument("--log-every", type=int, default=10)
     po.set_defaults(fn=cmd_optimize)
+
+    pe = sub.add_parser("export")
+    pe.add_argument("--config", default="config2",
+                    choices=["config1", "config2", "config3", "config4"])
+    pe.add_argument("--out", default="scene.txt")
+    pe.set_defaults(fn=cmd_export)
 
     pb = sub.add_parser("bench")
     pb.add_argument("--config", default="config4")
