@@ -115,6 +115,32 @@ def test_golden_scene_files_parse():
         assert opts.width > 0
 
 
+def test_example_scenes(tmp_path):
+    """Shipped examples/ scenes parse; the analytic one renders at tiny res
+    and matches the NumPy oracle."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "examples")
+    files = sorted(glob.glob(os.path.join(root, "*.txt")))
+    assert len(files) >= 2
+    for f in files:
+        scene, cam, opts = load_scene(f)
+        assert scene.lights.count >= 1
+        if "blob" in f:
+            assert scene.meshes.count > 1000 and scene.meshes.smooth
+        else:
+            from tests.oracle.np_oracle import render_oracle
+
+            opts = dataclasses.replace(opts, width=48, height=48,
+                                       tile_rays=48 * 48)
+            img = np.asarray(render(scene, cam, opts)[0])
+            ref = render_oracle(scene, cam, opts)
+            # atol rides above knife-edge association noise (grazing glass
+            # rays at 48² land one ulp either side of a hit in f32 vs f64)
+            np.testing.assert_allclose(img, ref, atol=5e-3)
+
+
 def test_cli_render_scene(tmp_path):
     from raytracer_tpu import cli
 
