@@ -154,7 +154,8 @@ def native_lib():
     if not _TRIED:
         _TRIED = True
         here = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        so = os.path.join(here, "native", "librt_native.so")
+        so = (os.environ.get("RT_NATIVE_LIB")
+              or os.path.join(here, "native", "librt_native.so"))
         if os.path.exists(so) and not os.environ.get("RT_NO_NATIVE"):
             try:
                 _LIB = _NativeLib(ctypes.CDLL(so))
