@@ -153,6 +153,22 @@ def main():
         return
     late = 2 if time.time() < deadline else 1
     b = _guarded("bwd", used, extra, env=env, attempts=late)
+    if not b:
+        # Degraded-day bwd ladder: on bad days the program-size fault
+        # boundary collapses (observed: config3 1024² d4 bwd ≈1.3M units
+        # faults mid-timing while config1-size bwd passes) — smaller band
+        # budgets mean smaller per-program work, which often survives.
+        cur = int((env or {}).get("RT_BWD_UNIT_BUDGET", 3_200_000))
+        for budget in (1_600_000, 800_000, 400_000):
+            if budget >= cur or time.time() > deadline:
+                continue
+            sys.stderr.write(f"# bwd failed; retrying with band budget "
+                             f"{budget}\n")
+            b = _guarded("bwd", used, extra,
+                         env={**(env or {}),
+                              "RT_BWD_UNIT_BUDGET": str(budget)}, attempts=1)
+            if b:
+                break
     if b:
         t.update(b)
     c = _guarded("count", used, extra, env=env, attempts=late)

@@ -165,17 +165,21 @@ def phase_fwd(config, repeats=2, **kw):
     # 960x540xd4 ok, 1440x810xd4 kernel-faults) — band-split the frame into
     # one jit program per band; mesh-free scenes get a single band.
     bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
-    fns = []
-    for r0, rows in bands:
-        @jax.jit
-        def band_fwd(eps, s, c, tr, r0=r0, rows=rows):
-            c2 = dataclasses.replace(c, pos=c.pos + eps)
-            return render(s, c2, opts, tracer=tr, row0=r0, rows=rows)[0]
+    # one program per band HEIGHT (row0 is a traced scalar — raygen supports
+    # it), so n bands cost ≤2 compiles: the body height + a short last band
+    fns = {}
+    for _, rows in bands:
+        if rows not in fns:
+            @jax.jit
+            def band_fwd(eps, s, c, tr, r0, rows=rows):
+                c2 = dataclasses.replace(c, pos=c.pos + eps)
+                return render(s, c2, opts, tracer=tr, row0=r0, rows=rows)[0]
 
-        fns.append(band_fwd)
+            fns[rows] = band_fwd
+    calls = [(fns[rows], r0) for r0, rows in bands]
 
     def fwd(eps):
-        outs = [f(eps, scene, cam, tracer) for f in fns]
+        outs = [f(eps, scene, cam, tracer, r0) for f, r0 in calls]
         return outs[-1]  # chaining on the last band serializes the frame tail
 
     # warm band-by-band with progress lines: if the phase times out, the
@@ -183,10 +187,10 @@ def phase_fwd(config, repeats=2, **kw):
     # band k or dispatching — compile-grind and tunnel-poison look identical
     # from outside otherwise
     z = jnp.zeros(())
-    for i, f in enumerate(fns):
-        print(f"# fwd band {i + 1}/{len(fns)} compile+warm…",
+    for i, (f, r0) in enumerate(calls):
+        print(f"# fwd band {i + 1}/{len(calls)} compile+warm…",
               file=sys.stderr, flush=True)
-        jax.block_until_ready(f(z, scene, cam, tracer))
+        jax.block_until_ready(f(z, scene, cam, tracer, r0))
     print("# fwd bands warm; timing…", file=sys.stderr, flush=True)
     img, t_fwd = _chained_time(fwd, repeats=repeats)
     float(img[0, 0, 0])  # validation readback — async faults surface here
@@ -208,7 +212,7 @@ def phase_bwd(config, repeats=2, **kw):
           file=sys.stderr, flush=True)
     tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
         s, c, opts, tracer=tr, row0=r0, rows=rows)[0],
-        static_argnames=("r0", "rows"))
+        static_argnames=("rows",))
     target = jnp.concatenate(
         [tgt_fn(scene, cam, tracer, r0=r0, rows=rows) for r0, rows in bands],
         axis=0) * 0.9
@@ -219,30 +223,33 @@ def phase_bwd(config, repeats=2, **kw):
     # band formula assumes): keep remat there to bound backward memory
     opts_b = dataclasses.replace(
         opts, remat_tiles=scene.has_glass and opts.remat_tiles)
-    vgs = []
-    for r0, rows in bands:
-        def band_loss(p, s, c, timg, tr, r0=r0, rows=rows):
-            o = render(_with_params(s, p), c, opts_b, tracer=tr,
-                       row0=r0, rows=rows)[0]
-            return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
-                timg, r0, rows, 0)) ** 2) / (n_pix * 3)
+    # one value_and_grad program per band height (traced row0), as in fwd
+    vg_by_rows = {}
+    for _, rows in bands:
+        if rows not in vg_by_rows:
+            def band_loss(p, s, c, timg, tr, r0, rows=rows):
+                o = render(_with_params(s, p), c, opts_b, tracer=tr,
+                           row0=r0, rows=rows)[0]
+                return jnp.sum((o - jax.lax.dynamic_slice_in_dim(
+                    timg, r0, rows, 0)) ** 2) / (n_pix * 3)
 
-        vgs.append(jax.jit(jax.value_and_grad(band_loss)))
+            vg_by_rows[rows] = jax.jit(jax.value_and_grad(band_loss))
+    vgs = [(vg_by_rows[rows], r0) for r0, rows in bands]
 
     def step(eps):
         p = jax.tree.map(lambda x: x + eps, p0)
         val = jnp.zeros(())
         g = None
-        for vg in vgs:
-            v, gb = vg(p, scene, cam, target, tracer)
+        for vg, r0 in vgs:
+            v, gb = vg(p, scene, cam, target, tracer, r0)
             val = val + v
             g = gb if g is None else jax.tree.map(jnp.add, g, gb)
         return val, g
 
-    for i, vg in enumerate(vgs):
+    for i, (vg, r0) in enumerate(vgs):
         print(f"# bwd band {i + 1}/{len(vgs)} compile+warm…",
               file=sys.stderr, flush=True)
-        jax.block_until_ready(vg(p0, scene, cam, target, tracer))
+        jax.block_until_ready(vg(p0, scene, cam, target, tracer, r0))
     print("# bwd bands warm; timing…", file=sys.stderr, flush=True)
     (val, g), t_bwd = _chained_time(step, repeats=repeats)
     float(val)  # validation readback — async faults surface here
@@ -267,7 +274,7 @@ def phase_count(config, **kw):
     bands = _bands(opts) if scene.meshes.count else [(0, opts.height)]
     f = jax.jit(lambda s, c, tr, r0, rows: render(
         s, c, opts, count_rays=True, tracer=tr, row0=r0, rows=rows)[1],
-        static_argnames=("r0", "rows"))
+        static_argnames=("rows",))
     n = sum(float(f(scene, cam, tracer, r0=r0, rows=rows))
             for r0, rows in bands)
     return {"rays_per_frame": n}
@@ -335,12 +342,12 @@ def main(argv=None):
     elif args.phase == "time":
         print("PHASE_RESULT " + json.dumps(
             phase_time(args.config, repeats=args.repeats,
-                       fwd_bwd=not args.fwd_only)))
+                       fwd_bwd=not args.fwd_only, **kw)))
     elif args.phase == "count":
         print("PHASE_RESULT " + json.dumps(phase_count(args.config, **kw)))
     else:
         run_bench(args.config, repeats=args.repeats,
-                  fwd_bwd=not args.fwd_only)
+                  fwd_bwd=not args.fwd_only, **kw)
 
 
 if __name__ == "__main__":

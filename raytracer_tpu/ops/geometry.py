@@ -151,7 +151,10 @@ def raygen(cam_pos, c2w, fov_deg, width, height, dtype=jnp.float32,
     scale = jnp.tan(jnp.deg2rad(jnp.asarray(fov_deg, dtype) / 2.0))
     aspect = dtype(width) / dtype(height)
     i = (jnp.arange(width, dtype=dtype) + 0.5) / width                 # cols
-    j = (jnp.arange(row0, row0 + rows, dtype=dtype) + 0.5) / height    # rows
+    # row0 may be a traced scalar (one compiled program serves every band of
+    # the same height); integer adds are exact in f32 for any sane height
+    j = (jnp.arange(rows, dtype=dtype)
+         + jnp.asarray(row0, dtype) + 0.5) / height                    # rows
     x = (2.0 * i - 1.0) * aspect * scale                  # [W]
     y = (1.0 - 2.0 * j) * scale                           # [rows]
     xx = jnp.broadcast_to(x[None, :], (rows, width))
