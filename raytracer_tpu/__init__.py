@@ -26,7 +26,7 @@ from raytracer_tpu.core.types import (
     Scene,
     Spheres,
 )
-from raytracer_tpu.renderer import render, render_rays
+from raytracer_tpu.renderer import render, render_banded, render_rays
 
 __version__ = "0.1.0"
 
@@ -40,5 +40,6 @@ __all__ = [
     "Scene",
     "Spheres",
     "render",
+    "render_banded",
     "render_rays",
 ]

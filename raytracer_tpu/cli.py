@@ -24,7 +24,6 @@ def cmd_render(args):
     import numpy as np
 
     from raytracer_tpu.models import presets
-    from raytracer_tpu.renderer import render
 
     if args.scene:
         from raytracer_tpu.io.scenefile import load_scene
@@ -67,13 +66,15 @@ def cmd_render(args):
         from raytracer_tpu.accel.bvh import BVHTracer
 
         tracer = BVHTracer.build(scene)
-    from raytracer_tpu.renderer import render_ssaa
+    from raytracer_tpu.renderer import render_banded, render_ssaa
 
     def do_render():
         if args.ssaa > 1:
             return render_ssaa(scene, cam, opts, factor=args.ssaa,
                                tracer=tracer, count_rays=True)
-        return render(scene, cam, opts, count_rays=True, tracer=tracer)
+        # banded: jitted, and mesh scenes stay under the TPU program-size
+        # fault budget at any resolution (one compile per band height)
+        return render_banded(scene, cam, opts, count_rays=True, tracer=tracer)
 
     t0 = time.perf_counter()
     if args.trace:

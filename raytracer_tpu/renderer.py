@@ -183,6 +183,48 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@partial(jax.jit, static_argnames=("opts", "rows", "count_rays"))
+def _band_jit(scene, camera, tracer, row0, *, opts, rows, count_rays):
+    # row0 is a traced scalar: every band of the same height shares ONE
+    # compiled program (raygen supports traced row0, bitwise-identical)
+    return render(scene, camera, opts, count_rays=count_rays, tracer=tracer,
+                  row0=row0, rows=rows)
+
+
+def _auto_band_rows(scene: Scene, opts: RenderOptions) -> int:
+    """Rows per band program: whole frame unless the scene has a mesh (grid/
+    BVH programs above ~3M pixel×(depth+1) units kernel-fault on this TPU
+    stack — CLAUDE.md rule 5; band-splitting must happen OUTSIDE jit)."""
+    if not scene.meshes.count:
+        return opts.height
+    budget = 2_400_000 // (opts.max_depth + 1)
+    return max(1, min(opts.height, budget // opts.width))
+
+
+def render_banded(scene: Scene, camera: Camera, opts: RenderOptions,
+                  tracer=None, count_rays: bool = False,
+                  band_rows: int | None = None):
+    """Full-frame render as a sequence of horizontal band programs.
+
+    Same output as `render` (bands are bitwise-identical slices of the full
+    frame), but each band is its own jitted XLA program, which keeps
+    grid-traced mesh scenes under the TPU program-size fault budget at any
+    resolution. Bands of equal height share one compiled program, so the
+    whole frame costs ≤2 compiles.
+    """
+    band_rows = _auto_band_rows(scene, opts) if band_rows is None else \
+        min(band_rows, opts.height)
+    imgs, traced = [], jnp.zeros((), jnp.float32)
+    for r0 in range(0, opts.height, band_rows):
+        rb = min(band_rows, opts.height - r0)
+        img, n = _band_jit(scene, camera, tracer, r0, opts=opts, rows=rb,
+                           count_rays=count_rays)
+        imgs.append(img)
+        traced = traced + n
+    img = imgs[0] if len(imgs) == 1 else jnp.concatenate(imgs, axis=0)
+    return img, traced
+
+
 def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
                 factor: int = 2, tracer=None, count_rays: bool = False,
                 band_rows: int | None = None):
@@ -214,8 +256,8 @@ def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
     imgs, traced = [], jnp.zeros((), jnp.float32)
     for r0 in range(0, opts.height, band_rows):
         rb = min(band_rows, opts.height - r0)
-        img, n = render(scene, camera, hi, count_rays=count_rays,
-                        tracer=tracer, row0=r0 * factor, rows=rb * factor)
+        img, n = _band_jit(scene, camera, tracer, r0 * factor, opts=hi,
+                           rows=rb * factor, count_rays=count_rays)
         imgs.append(img.reshape(rb, factor, opts.width, factor, 3)
                     .mean(axis=(1, 3)))
         traced = traced + n

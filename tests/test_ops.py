@@ -4,6 +4,7 @@ Covers the edge cases from SURVEY.md §4.2: grazing rays, behind-origin hits,
 inside-sphere hits, degenerate triangles, TIR, checker pattern.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -179,8 +180,11 @@ class TestSSAA:
         scene, cam, opts = presets.config1_sphere_plane()
         opts = dataclasses.replace(opts, width=64, height=48)
         aa = np.asarray(render_ssaa(scene, cam, opts, factor=2)[0])
+        # jit baseline: render_ssaa's bands ARE jit programs (eager render
+        # differs from any jitted render by ~1e-5 fusion reassociation)
         hi = dataclasses.replace(opts, width=128, height=96)
-        ref = np.asarray(render(scene, cam, hi)[0])
+        ref = np.asarray(jax.jit(
+            lambda s, c: render(s, c, hi)[0])(scene, cam))
         want = ref.reshape(48, 2, 64, 2, 3).mean(axis=(1, 3))
         assert aa.shape == (48, 64, 3)
         np.testing.assert_allclose(aa, want, atol=1e-6, rtol=0)
@@ -194,7 +198,8 @@ class TestSSAA:
         scene, cam, opts = presets.config1_sphere_plane()
         opts = dataclasses.replace(opts, width=32, height=32)
         a = np.asarray(render_ssaa(scene, cam, opts, factor=1)[0])
-        b = np.asarray(render(scene, cam, opts)[0])
+        b = np.asarray(jax.jit(
+            lambda s, c: render(s, c, opts)[0])(scene, cam))
         np.testing.assert_array_equal(a, b)
 
     def test_smooths_edges(self):
