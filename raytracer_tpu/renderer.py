@@ -197,8 +197,11 @@ def _auto_band_rows(scene: Scene, opts: RenderOptions) -> int:
     stack — CLAUDE.md rule 5; band-splitting must happen OUTSIDE jit)."""
     if not scene.meshes.count:
         return opts.height
-    budget = 2_400_000 // (opts.max_depth + 1)
-    return max(1, min(opts.height, budget // opts.width))
+    budget_px = max(1, 2_400_000 // (opts.max_depth + 1))
+    n_bands = -(-opts.width * opts.height // budget_px)
+    # near-even split: usually every band (incl. the last) shares one height
+    # → one compiled program for the whole frame
+    return max(1, min(opts.height, -(-opts.height // n_bands)))
 
 
 def render_banded(scene: Scene, camera: Camera, opts: RenderOptions,
