@@ -26,7 +26,8 @@ from raytracer_tpu.core.types import (
     Scene,
     Spheres,
 )
-from raytracer_tpu.renderer import render, render_banded, render_rays
+from raytracer_tpu.renderer import (render, render_banded, render_rays,
+                                    value_and_grad_banded)
 
 __version__ = "0.1.0"
 
@@ -42,4 +43,5 @@ __all__ = [
     "render",
     "render_banded",
     "render_rays",
+    "value_and_grad_banded",
 ]

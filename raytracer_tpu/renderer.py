@@ -268,6 +268,47 @@ def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
     return img, traced
 
 
+@partial(jax.jit, static_argnames=("apply_params", "opts", "rows"))
+def _band_vg(params, scene, camera, tracer, target, row0, *, apply_params,
+             opts, rows):
+    def band_loss(p):
+        img = render(apply_params(scene, p), camera, opts, tracer=tracer,
+                     row0=row0, rows=rows)[0]
+        want = jax.lax.dynamic_slice_in_dim(target, row0, rows, 0)
+        return jnp.sum((img - want) ** 2) / (opts.width * opts.height * 3)
+
+    return jax.value_and_grad(band_loss)(params)
+
+
+def value_and_grad_banded(apply_params, params, scene: Scene, camera: Camera,
+                          opts: RenderOptions, target, tracer=None,
+                          band_rows: int | None = None):
+    """Pixel-L2 inverse-rendering loss + grads as per-band microbatches.
+
+    loss(params) = Σ_px (render(apply_params(scene, params)) − target)²
+                   / (H·W·3),
+    evaluated band-by-band: each band is its own value_and_grad XLA program
+    (grads summed across bands), which keeps grid/BVH mesh scenes under the
+    TPU program-size fault budget in the BACKWARD pass too — the gradient
+    analog of `render_banded`. Bands of one height share one compiled
+    program (traced row0). Mesh-free scenes default to a single band, where
+    this equals plain `jax.value_and_grad` up to band-sum association.
+
+    `apply_params(scene, params) -> Scene` grafts the optimized parameters
+    into the scene (kept explicit so grads have the params' structure).
+    """
+    band_rows = _auto_band_rows(scene, opts) if band_rows is None else \
+        min(band_rows, opts.height)
+    val, grads = None, None
+    for r0 in range(0, opts.height, band_rows):
+        rb = min(band_rows, opts.height - r0)
+        v, g = _band_vg(params, scene, camera, tracer, target, r0,
+                        apply_params=apply_params, opts=opts, rows=rb)
+        val = v if val is None else val + v
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+    return val, grads
+
+
 def render_image(scene: Scene, camera: Camera, opts: RenderOptions):
     """Convenience: jitted image-only render."""
     return _render_jit(scene, camera, opts)[0]

@@ -55,6 +55,41 @@ def test_banded_equals_full_mesh_grid():
     np.testing.assert_array_equal(np.asarray(img), np.asarray(full))
 
 
+def _apply_center(scene, p):
+    s = dataclasses.replace(scene.spheres, center=p["center"])
+    m = dataclasses.replace(scene.materials, albedo=p["albedo"])
+    return scene.replace(spheres=s, materials=m)
+
+
+def test_value_and_grad_banded_matches_full():
+    """Banded loss+grads == whole-frame value_and_grad (up to band-sum
+    association) on a mesh scene — the gradient analog of render_banded."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.accel.grid import GridTracer
+    from raytracer_tpu.renderer import value_and_grad_banded
+
+    scene, cam, opts = _small("config4", max_depth=1)
+    tracer = GridTracer.build(scene)
+    target = render(scene, cam, opts, tracer=tracer)[0] * 0.9
+    p0 = {"center": jnp.asarray(scene.spheres.center),
+          "albedo": jnp.asarray(scene.materials.albedo)}
+
+    def full_loss(p):
+        img = render(_apply_center(scene, p), cam, opts, tracer=tracer)[0]
+        return jnp.sum((img - target) ** 2) / (opts.width * opts.height * 3)
+
+    v_full, g_full = jax.jit(jax.value_and_grad(full_loss))(p0)
+    v_band, g_band = value_and_grad_banded(
+        _apply_center, p0, scene, cam, opts, target, tracer=tracer,
+        band_rows=24)
+    np.testing.assert_allclose(float(v_band), float(v_full), rtol=1e-5)
+    for k in g_full:
+        np.testing.assert_allclose(np.asarray(g_band[k]),
+                                   np.asarray(g_full[k]), rtol=1e-4,
+                                   atol=1e-7, err_msg=k)
+
+
 def test_auto_bands_mesh_scene():
     """Auto band sizing splits mesh scenes under the fault budget."""
     from raytracer_tpu.renderer import _auto_band_rows
