@@ -277,11 +277,14 @@ def build_stacked_bvh(v0, e1, e2, n_shards: int, leaf_size: int = 8):
 
 
 def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
-             occlusion_max_t=None):
+             occlusion_max_t=None, active=None):
     """Stackless threaded walk over all rays → (best_t [N], best_idx [N]).
 
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
     found (any-hit mode); best_t < max_t then means occluded.
+    `active` [N] bool parks lanes at the done-sentinel before step 0 (they
+    return miss/INF) so dead wavefront lanes stop driving the while_loop trip
+    count; active lanes' results are bitwise-unchanged.
 
     Gather layout: build_bvh packs node AABBs [n,6] (aabb6), hit/miss links
     [8n,2] (links2), and in pregather mode the triangle ids as a 10th f32
@@ -303,6 +306,8 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
     best_t = jnp.full((n_rays,), INF, jnp.float32)
     best_i = jnp.full((n_rays,), bvh.n_tris, jnp.int32)
     node = jnp.zeros((n_rays,), jnp.int32)  # root
+    if active is not None:
+        node = jnp.where(jax.lax.stop_gradient(active), node, nn)
 
     if occlusion_max_t is not None:
         prune = jnp.asarray(occlusion_max_t, jnp.float32)
@@ -388,7 +393,7 @@ class BVHTracer:
                         pregather=pregather)
         return BVHTracer(scene, bvh)
 
-    def nearest(self, orig, direc, t_min, tri_chunk):
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         from raytracer_tpu.core.types import KIND_TRIANGLE
         from raytracer_tpu.accel.grid import _EMPTY_MESHES
         from raytracer_tpu.ops import trace as trace_ops
@@ -399,14 +404,15 @@ class BVHTracer:
             self._scene.replace(meshes=_EMPTY_MESHES), orig, direc, t_min,
             tri_chunk)
         v0, e1, e2 = self._soa
-        tb, ib = bvh_walk(self._bvh, v0, e1, e2, orig, direc, t_min)
+        tb, ib = bvh_walk(self._bvh, v0, e1, e2, orig, direc, t_min,
+                          active=active)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
             idx=jnp.where(better, ib, base.idx),
             t=jnp.where(better, tb, base.t))
 
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
         from raytracer_tpu.accel.grid import _EMPTY_MESHES
         from raytracer_tpu.ops import trace as trace_ops
 
@@ -417,7 +423,7 @@ class BVHTracer:
                                  orig, direc, max_t, t_min, tri_chunk)
         v0, e1, e2 = self._soa
         tb, _ = bvh_walk(self._bvh, v0, e1, e2, orig, direc, t_min,
-                         occlusion_max_t=max_t)
+                         occlusion_max_t=max_t, active=active)
         return occ | (tb < max_t)
 
 

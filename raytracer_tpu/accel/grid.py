@@ -237,11 +237,16 @@ def _eval_candidates(orig, direc, idx, soa, tids_tab, v0p, e1p, e2p, t_min):
 
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
               occlusion_max_t=None, fixed_steps: bool = False,
-              skip_steps: int | None = None):
+              skip_steps: int | None = None, active=None):
     """Vectorized DDA over all rays → (best_t [N], best_idx [N]).
 
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
     found (any-hit mode); best_t < max_t then means occluded.
+    `active` [N] bool masks lanes out of the walk entirely (they return
+    miss/INF): the wavefront renderer passes its alive/diffuse masks so dead
+    lanes — whose zero-normal "reflections" re-enter the grid every bounce —
+    stop driving the while_loop trip count. Active lanes' results are
+    bitwise-unchanged.
     `fixed_steps=True` runs a static-trip fori_loop instead of the
     data-dependent while_loop (identical results; a robustness fallback for
     runtimes that mishandle dynamic trip counts, at the cost of always
@@ -287,6 +292,8 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     thi = jnp.maximum(t0, t1).min(axis=1)
     t_entry = jnp.maximum(tlo, 0.0)
     inside = (thi >= t_entry) & (thi > 0)
+    if active is not None:
+        inside &= jax.lax.stop_gradient(active)
 
     p_entry = orig + (t_entry + 1e-5)[:, None] * direc
     cellf = (p_entry - grid.bmin[None, :]) * grid.inv_cell[None, :]
@@ -421,7 +428,7 @@ class GridTracer:
                           pregather=pregather, exact=exact)
         return GridTracer(scene, grid, fixed_steps=fixed_steps)
 
-    def nearest(self, orig, direc, t_min, tri_chunk):
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         from raytracer_tpu.core.types import KIND_TRIANGLE
         from raytracer_tpu.ops import trace as trace_ops
 
@@ -433,14 +440,15 @@ class GridTracer:
             tri_chunk)
         v0, e1, e2 = self._soa
         tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                           fixed_steps=self._fixed, skip_steps=self._skip)
+                           fixed_steps=self._fixed, skip_steps=self._skip,
+                           active=active)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
             idx=jnp.where(better, ib, base.idx),
             t=jnp.where(better, tb, base.t))
 
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
         from raytracer_tpu.ops import trace as trace_ops
 
         orig = jax.lax.stop_gradient(orig)
@@ -451,7 +459,7 @@ class GridTracer:
         v0, e1, e2 = self._soa
         tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                           occlusion_max_t=max_t, fixed_steps=self._fixed,
-                          skip_steps=self._skip)
+                          skip_steps=self._skip, active=active)
         return occ | (tb < max_t)
 
 

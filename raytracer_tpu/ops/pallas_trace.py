@@ -201,7 +201,10 @@ class PallasTracer:
         self._bt = bt
         self._n_tris = int(scene.meshes.count)
 
-    def nearest(self, orig, direc, t_min, tri_chunk):
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
+        # `active` ignored: the Pallas megakernel's grid is static, masking
+        # lanes saves nothing (see ops/trace.nearest_hit).
+        del active
         from raytracer_tpu.core.types import KIND_TRIANGLE, Meshes
         from raytracer_tpu.ops import trace as trace_ops
 
@@ -218,7 +221,8 @@ class PallasTracer:
             idx=jnp.where(better, ib, base.idx),
             t=jnp.where(better, tb, base.t))
 
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
+        del active  # static Pallas grid — see nearest()
         from raytracer_tpu.core.types import Meshes
         from raytracer_tpu.ops import trace as trace_ops
 

@@ -15,11 +15,16 @@ from raytracer_tpu.ops.safemath import dot, safe_pow, safe_sqrt
 
 
 def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
-                  tri_chunk: int, count_rays: bool = False, tracer=None):
+                  tri_chunk: int, count_rays: bool = False, tracer=None,
+                  active=None):
     """Phong local radiance [N,3] for rays hitting diffuse/glossy surfaces.
 
     Computed for *all* rays (branchless); the caller masks by material type.
     `tracer` overrides the occlusion backend (sharded/ring paths in parallel/).
+    `active` [N] bool marks the lanes whose result the caller will keep — the
+    walk-based occlusion backends park the other lanes instead of DDA-walking
+    shadow rays whose contribution is masked out anyway (active lanes'
+    results are bitwise-unchanged).
     Returns (rgb, shadow_ray_count) — the count is for rays/s accounting only.
     """
     p, n = surf.p, surf.n
@@ -39,9 +44,10 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
         ldn = jnp.maximum(0.0, dot(ldir, n))
         if tracer is None:
             shadowed = trace_ops.occluded(scene, sorig, ldir, dist, t_min,
-                                          tri_chunk)
+                                          tri_chunk, active=active)
         else:
-            shadowed = tracer.occluded(sorig, ldir, dist, t_min, tri_chunk)
+            shadowed = tracer.occluded(sorig, ldir, dist, t_min, tri_chunk,
+                                       active=active)
         vis = jnp.where(shadowed, 0.0, 1.0)
         light_amt = light_amt + (vis * ldn)[:, None] * lint[None, :]
         r = reflect(-ldir, n)

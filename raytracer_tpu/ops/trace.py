@@ -97,9 +97,15 @@ jax.tree_util.register_dataclass(Hit, data_fields=["kind", "idx", "t"],
                                  meta_fields=[])
 
 
-def nearest_hit(scene: Scene, orig, direc, t_min: float, tri_chunk: int) -> Hit:
+def nearest_hit(scene: Scene, orig, direc, t_min: float, tri_chunk: int,
+                active=None) -> Hit:
     """Winner search (integers only, stop_gradient). Nearest over all groups;
-    equal-t tie-break: sphere < plane < triangle, lower index (SPEC)."""
+    equal-t tie-break: sphere < plane < triangle, lower index (SPEC).
+
+    `active` is accepted for tracer-interface uniformity and ignored: this
+    dense path has static trip counts, so masking lanes saves nothing (the
+    walk backends use it to cut while_loop iterations)."""
+    del active
     orig = jax.lax.stop_gradient(orig)
     direc = jax.lax.stop_gradient(direc)
     scene = jax.lax.stop_gradient(scene)
@@ -140,9 +146,11 @@ def nearest_hit(scene: Scene, orig, direc, t_min: float, tri_chunk: int) -> Hit:
 
 
 def occluded(scene: Scene, orig, direc, max_t, t_min: float,
-             tri_chunk: int) -> jax.Array:
+             tri_chunk: int, active=None) -> jax.Array:
     """Any-hit with t in (t_min, max_t) → bool [N]. Shadow-ray test (SPEC).
-    Tests all objects including transparent ones (genre-exact)."""
+    Tests all objects including transparent ones (genre-exact).
+    `active` ignored here (dense path, static trip counts) — see nearest_hit."""
+    del active
     orig = jax.lax.stop_gradient(orig)
     direc = jax.lax.stop_gradient(direc)
     max_t = jax.lax.stop_gradient(max_t)

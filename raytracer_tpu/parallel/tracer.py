@@ -115,8 +115,10 @@ def _local_bvh(g: TraceGeom, accel, accel_meta):
 
 
 def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int,
-                   accel=None, accel_meta=None):
-    """Nearest-hit over a TraceGeom → Hit with *local* indices."""
+                   accel=None, accel_meta=None, active=None):
+    """Nearest-hit over a TraceGeom → Hit with *local* indices.
+    `active` masks lanes out of the BVH walk only (dynamic trip count); the
+    dense scans are static so masking them saves nothing."""
     n = orig.shape[0]
     best_t = jnp.full((n,), INF, jnp.float32)
     kind = jnp.full((n,), KIND_NONE, jnp.int32)
@@ -142,7 +144,8 @@ def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int,
             from raytracer_tpu.accel.bvh import bvh_walk
 
             tb, ib = bvh_walk(_local_bvh(g, accel, accel_meta), g.tri_v0,
-                              g.tri_e1, g.tri_e2, orig, direc, t_min)
+                              g.tri_e1, g.tri_e2, orig, direc, t_min,
+                              active=active)
         else:
             tb, ib = trace_ops._scan_tri_nearest(orig, direc, g.tri_v0,
                                                  g.tri_e1, g.tri_e2, t_min,
@@ -155,7 +158,7 @@ def _local_nearest(g: TraceGeom, orig, direc, t_min: float, tri_chunk: int,
 
 
 def _local_occluded(g: TraceGeom, orig, direc, max_t, t_min: float,
-                    tri_chunk: int, accel=None, accel_meta=None):
+                    tri_chunk: int, accel=None, accel_meta=None, active=None):
     n = orig.shape[0]
     occ = jnp.zeros((n,), bool)
     if g.sph_c.shape[0]:
@@ -170,7 +173,7 @@ def _local_occluded(g: TraceGeom, orig, direc, max_t, t_min: float,
 
             tb, _ = bvh_walk(_local_bvh(g, accel, accel_meta), g.tri_v0,
                              g.tri_e1, g.tri_e2, orig, direc, t_min,
-                             occlusion_max_t=max_t)
+                             occlusion_max_t=max_t, active=active)
             occ |= tb < max_t
         else:
             occ |= trace_ops._scan_tri_occluded(orig, direc, g.tri_v0,
@@ -224,19 +227,19 @@ class ShardTracer:
         self._accel = accel        # stacked-BVH local slice (accel_pspec)
         self._accel_meta = accel_meta
 
-    def nearest(self, orig, direc, t_min, tri_chunk):
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         me = jax.lax.axis_index(self._axis)
         hit = _local_nearest(self._g, orig, direc, t_min, tri_chunk,
-                             self._accel, self._accel_meta)
+                             self._accel, self._accel_meta, active=active)
         hit = _globalize(hit, self._sizes, me)
         t_all = jax.lax.all_gather(hit.t, self._axis)
         kind_all = jax.lax.all_gather(hit.kind, self._axis)
         idx_all = jax.lax.all_gather(hit.idx, self._axis)
         return _combine_gathered(t_all, kind_all, idx_all)
 
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
         occ = _local_occluded(self._g, orig, direc, max_t, t_min, tri_chunk,
-                              self._accel, self._accel_meta)
+                              self._accel, self._accel_meta, active=active)
         return jax.lax.psum(occ.astype(jnp.int32), self._axis) > 0
 
 
@@ -262,7 +265,7 @@ class RingTracer:
         return jax.tree.map(
             lambda a: jax.lax.ppermute(a, self._axis, self._perm()), tree)
 
-    def nearest(self, orig, direc, t_min, tri_chunk):
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         me = jax.lax.axis_index(self._axis)
         g, accel = self._g, self._accel
         n = orig.shape[0]
@@ -272,19 +275,19 @@ class RingTracer:
         for step in range(self._p):
             owner = (me - step) % self._p  # whose shard we hold now
             hit = _local_nearest(g, orig, direc, t_min, tri_chunk, accel,
-                                 self._accel_meta)
+                                 self._accel_meta, active=active)
             hit = _globalize(hit, self._sizes, owner)
             best = _fold_hit(best, hit)
             if step + 1 < self._p:
                 g, accel = self._rotate((g, accel))
         return best
 
-    def occluded(self, orig, direc, max_t, t_min, tri_chunk):
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
         g, accel = self._g, self._accel
         occ = jnp.zeros((orig.shape[0],), bool)
         for step in range(self._p):
             occ |= _local_occluded(g, orig, direc, max_t, t_min, tri_chunk,
-                                   accel, self._accel_meta)
+                                   accel, self._accel_meta, active=active)
             if step + 1 < self._p:
                 g, accel = self._rotate((g, accel))
         return occ

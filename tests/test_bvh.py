@@ -250,3 +250,34 @@ def test_bvh_pregather_bitwise_identical(mesh_scene):
     np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
     np.testing.assert_array_equal(np.asarray(h0.idx), np.asarray(h1.idx))
     np.testing.assert_array_equal(np.asarray(h0.kind), np.asarray(h1.kind))
+
+
+def test_bvh_active_mask_parks_lanes(mesh_scene):
+    """active=False lanes park at the done-sentinel (miss/INF); active lanes
+    bitwise-unchanged — the renderer passes alive masks (bounce_step)."""
+    scene, cam, opts = mesh_scene
+    rng = np.random.default_rng(7)
+    n = 256
+    orig = jnp.asarray(rng.normal(size=(n, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    active = jnp.asarray(rng.random(n) < 0.5)
+    tr = BVHTracer.build(scene)
+
+    full = tr.nearest(orig, d, 1e-4, 512)
+    masked = tr.nearest(orig, d, 1e-4, 512, active=active)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(masked.t)[act],
+                                  np.asarray(full.t)[act])
+    np.testing.assert_array_equal(np.asarray(masked.idx)[act],
+                                  np.asarray(full.idx)[act])
+    tb, _ = bvh_walk(tr._bvh, *tr._soa, orig, d, 1e-4, active=active)
+    assert np.isinf(np.asarray(tb)[~act]).all()
+
+    max_t = jnp.full((n,), 4.0, jnp.float32)
+    occ_full = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512))
+    occ_mask = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512,
+                                      active=active))
+    np.testing.assert_array_equal(occ_mask[act], occ_full[act])

@@ -235,3 +235,37 @@ def test_grid_occlusion_matches_brute(mesh_scene):
     tr = GridTracer.build(scene)
     got = tr.occluded(orig, d, max_t, 1e-4, 512)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_grid_active_mask_parks_lanes(mesh_scene):
+    """active=False lanes return miss/INF; active lanes bitwise-unchanged.
+
+    The wavefront renderer passes its alive mask so dead lanes stop driving
+    the DDA while_loop trip count (renderer.bounce_step)."""
+    scene, cam, opts = mesh_scene
+    rng = np.random.default_rng(7)
+    n = 256
+    orig = jnp.asarray(rng.normal(size=(n, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    active = jnp.asarray(rng.random(n) < 0.5)
+    tr = GridTracer.build(scene)
+
+    full = tr.nearest(orig, d, 1e-4, 512)
+    masked = tr.nearest(orig, d, 1e-4, 512, active=active)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(masked.t)[act],
+                                  np.asarray(full.t)[act])
+    np.testing.assert_array_equal(np.asarray(masked.idx)[act],
+                                  np.asarray(full.idx)[act])
+    # parked lanes: the grid contributes nothing (analytic prims still hit)
+    tb, _ = grid_walk(tr._grid, *tr._soa, orig, d, 1e-4, active=active)
+    assert np.isinf(np.asarray(tb)[~act]).all()
+
+    max_t = jnp.full((n,), 4.0, jnp.float32)
+    occ_full = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512))
+    occ_mask = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512,
+                                      active=active))
+    np.testing.assert_array_equal(occ_mask[act], occ_full[act])
