@@ -48,16 +48,20 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
     bounce physics — `render_rays` loops it, and parallel/overlap.py reverses
     it bounce-by-bounce with per-bounce gradient psums.
     """
+    import os
+
     o, d, thr, alive = state
     bg = jnp.asarray(opts.background, jnp.float32)
     # `active=alive` lets walk-based tracers (grid DDA / BVH) park dead lanes
     # before step 0 instead of walking their zero-normal "reflections" — cuts
     # the while_loop trip count on bounce wavefronts; live lanes bitwise-same.
+    # RT_NO_ACTIVE_MASK=1 disables the mask for A/B sweeps (trace-time env
+    # read: takes effect per subprocess, not after a same-shape jit cache hit).
+    msk = None if os.environ.get("RT_NO_ACTIVE_MASK") == "1" else alive
     if tracer is None:
-        hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk,
-                          active=alive)
+        hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk, active=msk)
     else:
-        hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk, active=alive)
+        hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk, active=msk)
     surf = surface_at(scene, o, d, hit, opts.t_min)
     valid = surf.valid & alive
     traced_inc = jnp.zeros((), jnp.float32)
@@ -71,7 +75,8 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
     # Leaves: diffuse hit → local Phong (branchless; masked after)
     is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
     local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
-                             opts.tri_chunk, tracer=tracer, active=is_diff)
+                             opts.tri_chunk, tracer=tracer,
+                             active=None if msk is None else is_diff)
     terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0))
     if count_rays:
         traced_inc = traced_inc + jnp.sum(is_diff.astype(jnp.float32)) \
