@@ -37,6 +37,24 @@ def cmd_render(args):
                                    height=args.height or args.width)
     if args.max_depth is not None:
         opts = dataclasses.replace(opts, max_depth=args.max_depth)
+    if args.resilient:
+        from raytracer_tpu.utils.elastic import render_resilient
+
+        assert args.ssaa == 1, "--resilient does not support --ssaa"
+        t0 = time.perf_counter()
+        img, rep = render_resilient(
+            config=args.config if not args.scene else "",
+            scene_path=args.scene, width=args.width, height=args.height,
+            max_depth=args.max_depth, tracer=args.tracer,
+            min_rows=args.min_rows)
+        dt = time.perf_counter() - t0
+        print(f"{args.config}: {img.shape[1]}x{img.shape[0]} resilient in "
+              f"{dt:.2f}s — {rep.bands_ok} bands ok, {rep.bands_failed} "
+              f"failed, {rep.retries} retries, {rep.rays:.3g} rays")
+        if rep.failed_rows:
+            print("zero-filled rows:", rep.failed_rows)
+        _save(args.out, img)
+        return
     tracer = None
     kind = "grid" if args.grid else args.tracer
     if kind == "fused":
@@ -215,6 +233,13 @@ def main(argv=None):
     pr.add_argument("--ssaa", type=int, default=1,
                     help="supersampling factor: trace an N× frame and "
                          "box-average N² subsamples per pixel")
+    pr.add_argument("--resilient", action="store_true",
+                    help="elastic mode: render bands in re-dispatchable "
+                         "subprocesses with backoff + split-retry (survives "
+                         "device kernel faults; utils/elastic.py)")
+    pr.add_argument("--min-rows", type=int, default=8,
+                    help="resilient mode: smallest band split before a piece "
+                         "is declared failed and zero-filled")
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")

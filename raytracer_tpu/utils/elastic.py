@@ -1,0 +1,258 @@
+"""Elastic band-level recovery: subprocess band renders with backoff,
+split-retry, and fault injection.
+
+SURVEY.md §5 "Failure detection / elastic recovery / fault injection":
+render steps are stateless and idempotent, so recovery = re-dispatch the
+failed tile from scratch. On this TPU stack that is also the ONLY recovery
+that works — a kernel fault kills the worker process AND degrades the shared
+TPU server for ~2 min (CLAUDE.md rules 1/5), so in-process retry is
+impossible and an immediate same-size retry usually re-faults. The driver
+therefore:
+
+1. renders each horizontal band in its own python process (one at a time —
+   the axon tunnel allows a single TPU client);
+2. on a band failure waits `retry_wait` s for the shared worker to recover;
+3. splits the band in half and retries each piece — a smaller XLA program,
+   which is exactly what dodges the (day-dependent) program-size fault
+   boundary — recursing down to `min_rows`;
+4. after a final whole-piece retry, zero-fills and reports bands that still
+   fail: a partial frame with a failure report beats no frame.
+
+Fault injection (tests + drills), read by every worker before jax loads:
+- RT_FAULT_COUNTDOWN_FILE=<path>: atomically decrement the integer in <path>
+  and hard-exit while it was > 0 — "the first K band workers crash",
+  exercising backoff + split + re-dispatch deterministically on CPU.
+- RT_FAULT_ROWS=a-b: hard-exit whenever the worker's band intersects image
+  rows [a, b) — a permanently poisoned region, exercising the terminal
+  zero-fill path.
+
+Driver: `python -m raytracer_tpu.cli render --resilient …` (cli.py) or
+`render_resilient(...)` below. The driver itself never touches a device —
+it only orchestrates subprocesses and assembles numpy bands.
+"""
+
+import dataclasses
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- driver ----
+
+
+@dataclasses.dataclass
+class BandReport:
+    """Outcome log of one resilient render (SURVEY §5 'Metrics')."""
+
+    bands_ok: int = 0
+    bands_failed: int = 0          # zero-filled terminal failures
+    retries: int = 0               # worker launches beyond the first per piece
+    failed_rows: list = dataclasses.field(default_factory=list)  # (row0, rows)
+    rays: float = 0.0
+
+
+def _worker_cmd(config: str, scene_path: str, row0: int, rows: int,
+                width: int, height: int, max_depth: int | None, tracer: str,
+                out_npz: str):
+    cmd = [sys.executable, "-m", "raytracer_tpu.utils.elastic",
+           "--row0", str(row0), "--rows", str(rows),
+           "--width", str(width), "--height", str(height),
+           "--tracer", tracer, "--npz", out_npz]
+    if scene_path:
+        cmd += ["--scene", scene_path]
+    else:
+        cmd += ["--config", config]
+    if max_depth is not None:
+        cmd += ["--max-depth", str(max_depth)]
+    return cmd
+
+
+def _run_band(config, scene_path, row0, rows, width, height, max_depth,
+              tracer, timeout):
+    """One worker launch → (img [rows,W,3] | None, rays)."""
+    fd, path = tempfile.mkstemp(suffix=".npz", prefix="rt_band_")
+    os.close(fd)
+    try:
+        cmd = _worker_cmd(config, scene_path, row0, rows, width, height,
+                          max_depth, tracer, path)
+        try:
+            r = subprocess.run(cmd, cwd=_REPO, timeout=timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"# band {row0}+{rows}: timeout {timeout}s\n")
+            return None, 0.0
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()[-3:]
+            sys.stderr.write(f"# band {row0}+{rows}: worker exit "
+                             f"{r.returncode}" +
+                             ("".join("\n#   " + ln for ln in tail)) + "\n")
+            return None, 0.0
+        with np.load(path) as z:
+            return np.asarray(z["img"], np.float32), float(z["rays"])
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def render_resilient(config: str = "", scene_path: str = "",
+                     width: int = 0, height: int = 0,
+                     max_depth: int | None = None, tracer: str = "auto",
+                     band_rows: int | None = None, min_rows: int = 8,
+                     retry_wait: float | None = None,
+                     band_timeout: float = 1800.0):
+    """Full-frame render via re-dispatchable band subprocesses.
+
+    Returns (img [H,W,3] f32, BandReport). Success bands are bitwise equal to
+    the same renderer run in-process (render_banded slices); failed bands are
+    zero-filled and listed in the report.
+    """
+    import time
+
+    scene, _, opts = _load_host(config, scene_path, width, height, max_depth)
+    height, width = opts.height, opts.width
+    if retry_wait is None:
+        # CPU sim recovers instantly; the shared TPU worker needs ~2 min
+        retry_wait = 0.0 if os.environ.get("JAX_PLATFORMS") == "cpu" else 120.0
+    if band_rows is None:
+        from raytracer_tpu.renderer import _auto_band_rows
+
+        band_rows = _auto_band_rows(scene, opts)
+
+    img = np.zeros((height, width, 3), np.float32)
+    rep = BandReport()
+
+    def backoff():
+        rep.retries += 1
+        if retry_wait:
+            time.sleep(retry_wait)
+
+    def attempt(row0, rows):
+        return _run_band(config, scene_path, row0, rows, width, height,
+                         max_depth, tracer, band_timeout)
+
+    def do_piece(row0, rows):
+        band, rays = attempt(row0, rows)
+        if band is None:
+            backoff()  # let the shared device worker recover, once per fault
+            if rows >= 2 * min_rows:
+                half = -(-rows // 2)
+                sys.stderr.write(f"# band {row0}+{rows}: splitting -> "
+                                 f"{half}/{rows - half}\n")
+                do_piece(row0, half)
+                do_piece(row0 + half, rows - half)
+                return
+            band, rays = attempt(row0, rows)  # terminal size: one last try
+        if band is None:
+            rep.bands_failed += 1
+            rep.failed_rows.append((row0, rows))
+            sys.stderr.write(f"# band {row0}+{rows}: FAILED - zero-filled\n")
+            return
+        img[row0:row0 + rows] = band
+        rep.bands_ok += 1
+        rep.rays += rays
+
+    for r0 in range(0, height, band_rows):
+        do_piece(r0, min(band_rows, height - r0))
+    return img, rep
+
+
+def _load_host(config, scene_path, width, height, max_depth):
+    """Scene + camera + opts WITHOUT touching a device (host numpy pytrees)."""
+    if scene_path:
+        from raytracer_tpu.io.scenefile import load_scene
+
+        scene, cam, opts = load_scene(scene_path)
+    else:
+        from raytracer_tpu.models import presets
+
+        scene, cam, opts = presets.PRESETS[config]()
+    if width:
+        opts = dataclasses.replace(opts, width=width,
+                                   height=height or width)
+    if max_depth is not None:
+        opts = dataclasses.replace(opts, max_depth=max_depth)
+    return scene, cam, opts
+
+
+# ---------------------------------------------------------------- worker ----
+
+
+def _maybe_inject_fault(row0: int, rows: int):
+    """Test/drill hooks — must run before jax initializes anything."""
+    path = os.environ.get("RT_FAULT_COUNTDOWN_FILE")
+    if path and os.path.exists(path):
+        with open(path) as f:
+            k = int(f.read().strip() or 0)
+        if k > 0:
+            with open(path, "w") as f:
+                f.write(str(k - 1))
+            sys.stderr.write(f"# injected fault (countdown {k}->{k - 1})\n")
+            os._exit(41)
+    span = os.environ.get("RT_FAULT_ROWS")
+    if span:
+        a, b = (int(x) for x in span.split("-"))
+        if row0 < b and row0 + rows > a:
+            sys.stderr.write(f"# injected fault (rows {a}-{b})\n")
+            os._exit(42)
+
+
+def _worker_main(args):
+    _maybe_inject_fault(args.row0, args.rows)
+
+    import jax
+
+    try:  # share the benchmarks' persistent compile cache across re-dispatches
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    scene, cam, opts = _load_host(args.config, args.scene, args.width,
+                                  args.height, args.max_depth)
+    tracer = None
+    if scene.meshes.count and args.tracer in ("grid", "auto"):
+        from raytracer_tpu.accel.grid import GridTracer
+
+        tracer = GridTracer.build(scene)
+    elif scene.meshes.count and args.tracer == "bvh":
+        from raytracer_tpu.accel.bvh import BVHTracer
+
+        tracer = BVHTracer.build(scene)
+
+    from raytracer_tpu.renderer import render
+
+    img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer,
+                         row0=args.row0, rows=args.rows)
+    img = np.asarray(img)  # the band's single D2H readback
+    np.savez(args.npz, img=img, rays=float(traced))
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="raytracer_tpu.utils.elastic",
+        description="band worker for resilient rendering (internal)")
+    p.add_argument("--config", default="")
+    p.add_argument("--scene", default="")
+    p.add_argument("--row0", type=int, required=True)
+    p.add_argument("--rows", type=int, required=True)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--tracer", default="auto")
+    p.add_argument("--npz", required=True)
+    _worker_main(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

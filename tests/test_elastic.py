@@ -1,0 +1,85 @@
+"""Elastic band recovery: subprocess re-dispatch + split-retry + zero-fill.
+
+SURVEY.md §5 "Failure detection / elastic recovery / fault injection" —
+render steps are stateless/idempotent, so recovery = re-dispatch the failed
+band. Fault injection env hooks (utils/elastic.py) let CPU CI exercise the
+exact paths the TPU program-size fault (CLAUDE.md rule 5) takes in prod.
+"""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.utils.elastic import render_resilient
+
+
+@pytest.fixture
+def cpu_subproc_env(monkeypatch):
+    """Band workers are fresh processes: force them onto the CPU sim the same
+    way tests/test_multiprocess.py does (conftest's in-process config does
+    not propagate)."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("PJRT_LIBRARY_PATH", raising=False)
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Fault-free single-band worker render. Same subprocess env as the
+    faulted runs — band assembly is bitwise (test_bands.py proves band ==
+    full-frame slice; this pins the driver's splicing); the in-process
+    conftest renderer differs by ~1e-5 (different XLA CPU vectorization in
+    the 8-device sim process), so the oracle-vs-render math is asserted by
+    the golden tests, not here."""
+    import os
+
+    # module-scoped ⇒ instantiated BEFORE the function-scoped env fixture:
+    # force the full CPU-sim env itself (an axon leftover like
+    # PALLAS_AXON_POOL_IPS routes worker compiles through the remote
+    # compiler — ~1e-5 codegen drift vs local CPU compiles)
+    prev = {k: os.environ.get(k)
+            for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        img, rep = render_resilient(config="config1", width=64, band_rows=64,
+                                    min_rows=8, retry_wait=0)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert rep.bands_ok == 1 and rep.bands_failed == 0
+    return img
+
+
+@pytest.mark.slow
+def test_resilient_recovers_from_transient_faults(tmp_path, monkeypatch,
+                                                  cpu_subproc_env, reference):
+    """First two workers crash (countdown injection) → backoff + split +
+    re-dispatch must still produce the exact full frame."""
+    cd = tmp_path / "countdown.txt"
+    cd.write_text("2")
+    monkeypatch.setenv("RT_FAULT_COUNTDOWN_FILE", str(cd))
+    img, rep = render_resilient(config="config1", width=64, band_rows=16,
+                                min_rows=8, retry_wait=0)
+    assert cd.read_text() == "0"          # both injected faults consumed
+    assert rep.bands_failed == 0 and not rep.failed_rows
+    assert rep.retries >= 2
+    np.testing.assert_array_equal(img, reference)
+
+
+@pytest.mark.slow
+def test_resilient_zero_fills_permanent_faults(monkeypatch, cpu_subproc_env,
+                                               reference):
+    """A permanently poisoned row range ends as zero-filled terminal pieces
+    with every other band exact (partial frame beats no frame)."""
+    monkeypatch.setenv("RT_FAULT_ROWS", "16-32")
+    img, rep = render_resilient(config="config1", width=64, band_rows=16,
+                                min_rows=8, retry_wait=0)
+    monkeypatch.delenv("RT_FAULT_ROWS")
+    assert rep.bands_failed == 2          # two terminal 8-row pieces
+    assert sorted(rep.failed_rows) == [(16, 8), (24, 8)]
+    assert (img[16:32] == 0).all()
+    np.testing.assert_array_equal(img[:16], reference[:16])
+    np.testing.assert_array_equal(img[32:], reference[32:])
