@@ -7,7 +7,38 @@
 
 import argparse
 import dataclasses
+import sys
 import time
+
+
+def _supervise_optimize(args):
+    """Auto-restart supervisor: re-launch the checkpointed optimize loop as a
+    child process (with --resume) until it completes or --max-restarts is
+    spent. Recovery = process re-dispatch + exact orbax resume."""
+    import os
+    import subprocess
+
+    assert args.checkpoint, "--supervise requires --checkpoint"
+    base = [sys.executable, "-m", "raytracer_tpu.cli", "optimize",
+            "--steps", str(args.steps), "--lr", str(args.lr),
+            "--out", args.out, "--checkpoint", args.checkpoint,
+            "--ckpt-every", str(args.ckpt_every),
+            "--log-every", str(args.log_every)]
+    wait = 0.0 if os.environ.get("JAX_PLATFORMS") == "cpu" else 120.0
+    for attempt in range(args.max_restarts + 1):
+        cmd = base + (["--resume"] if (attempt or args.resume) else [])
+        r = subprocess.run(cmd)
+        if r.returncode == 0:
+            if attempt:
+                print(f"# supervised optimize finished after {attempt} "
+                      f"restart(s)", file=sys.stderr)
+            return
+        print(f"# optimize child exit {r.returncode}; restarting with "
+              f"--resume ({attempt + 1}/{args.max_restarts})",
+              file=sys.stderr, flush=True)
+        if wait:
+            time.sleep(wait)  # let the shared device worker recover
+    raise SystemExit("supervised optimize: restart budget exhausted")
 
 
 def _save(path: str, img):
@@ -119,9 +150,21 @@ def cmd_render(args):
 
 def cmd_optimize(args):
     """Inverse rendering (BASELINE config 5) with orbax checkpoint/resume and
-    per-step JSONL metrics (SURVEY.md §5 'Checkpoint / resume', 'Metrics')."""
+    per-step JSONL metrics (SURVEY.md §5 'Checkpoint / resume', 'Metrics').
+
+    --supervise completes the recovery story (SURVEY §5 'Failure detection /
+    elastic recovery'): the optimizer loop runs as a child process that is
+    re-launched with --resume after every crash — on this TPU stack a kernel
+    fault kills the client process outright (CLAUDE.md rule 5), and
+    checkpoint/resume is exact (tests/test_checkpoint.py: resumed trajectory
+    == uninterrupted, step-for-step), so supervised runs converge to the
+    identical result as uncrashed ones. RT_FAULT_AFTER_STEPS=<n> injects a
+    hard exit after n steps per process for tests/drills."""
     import json
     import os
+
+    if args.supervise:
+        return _supervise_optimize(args)
 
     import jax
     import jax.numpy as jnp
@@ -153,8 +196,13 @@ def cmd_optimize(args):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(args.checkpoint)
+        # synchronous saves: async checkpointing loses the save when the
+        # process dies right after (exactly the TPU kernel-fault crash mode
+        # --supervise recovers from); the param pytree is tiny, durability
+        # beats the write overlap
         ckpt_mgr = ocp.CheckpointManager(
-            path, options=ocp.CheckpointManagerOptions(max_to_keep=2))
+            path, options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, enable_async_checkpointing=False))
         latest = ckpt_mgr.latest_step()
         if args.resume and latest is not None:
             restored = ckpt_mgr.restore(
@@ -170,7 +218,12 @@ def cmd_optimize(args):
         upd, s = opt.update(g, s)
         return optax.apply_updates(p, upd), s, val
 
-    for i in range(start, args.steps):
+    fault_after = int(os.environ.get("RT_FAULT_AFTER_STEPS", 0))
+    for done, i in enumerate(range(start, args.steps)):
+        if fault_after and done >= fault_after:
+            print(f"# injected fault after {done} steps (process step {i})",
+                  file=sys.stderr, flush=True)
+            os._exit(43)
         params, state, val = step(params, state)
         if i % args.log_every == 0 or i == args.steps - 1:
             print(json.dumps({"step": i, "loss": float(val)}))
@@ -252,6 +305,11 @@ def main(argv=None):
                     help="resume from the latest checkpoint")
     po.add_argument("--ckpt-every", type=int, default=25)
     po.add_argument("--log-every", type=int, default=10)
+    po.add_argument("--supervise", action="store_true",
+                    help="elastic mode: run the loop as a child process and "
+                         "auto-restart it with --resume after crashes "
+                         "(requires --checkpoint)")
+    po.add_argument("--max-restarts", type=int, default=20)
     po.set_defaults(fn=cmd_optimize)
 
     pe = sub.add_parser("export")

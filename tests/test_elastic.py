@@ -83,3 +83,41 @@ def test_resilient_zero_fills_permanent_faults(monkeypatch, cpu_subproc_env,
     assert (img[16:32] == 0).all()
     np.testing.assert_array_equal(img[:16], reference[:16])
     np.testing.assert_array_equal(img[32:], reference[32:])
+
+
+@pytest.mark.slow
+def test_optimize_supervised_survives_crashes(tmp_path, monkeypatch, capfd):
+    """`optimize --supervise`: children crash every 3 steps (injected);
+    auto-restart + exact orbax resume must still complete all 8 steps with
+    the same per-step losses as an uncrashed child."""
+    import json
+
+    from raytracer_tpu import cli
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("PJRT_LIBRARY_PATH", raising=False)
+
+    def run(ck, out):
+        cli.main(["optimize", "--steps", "8", "--lr", "5e-2",
+                  "--ckpt-every", "2", "--log-every", "1",
+                  "--checkpoint", ck, "--supervise", "--out", out])
+        o, e = capfd.readouterr()
+        steps = {}
+        for ln in o.splitlines():          # later children win on re-executed
+            if ln.startswith('{"step"'):   # steps (exact resume ⇒ identical)
+                d = json.loads(ln)
+                steps[d["step"]] = d["loss"]
+        return steps, e
+
+    monkeypatch.setenv("RT_FAULT_AFTER_STEPS", "3")
+    crashed, err = run(str(tmp_path / "ck1"), str(tmp_path / "a.png"))
+    assert err.count("restarting with --resume") >= 2
+    assert sorted(crashed) == list(range(8))
+
+    monkeypatch.delenv("RT_FAULT_AFTER_STEPS")
+    clean, err2 = run(str(tmp_path / "ck2"), str(tmp_path / "b.png"))
+    assert "restarting" not in err2
+    assert sorted(clean) == list(range(8))
+    for s in range(8):
+        np.testing.assert_allclose(crashed[s], clean[s], rtol=1e-6)
