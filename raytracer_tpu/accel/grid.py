@@ -280,8 +280,11 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     if grid.overflow.shape[0]:
         ts, _, _ = geom.triangle_hits(orig, direc, grid.ov_v0, grid.ov_e1,
                                       grid.ov_e2, t_min)
+        if active is not None:  # parked lanes must return miss/INF (contract)
+            ts = jnp.where(jax.lax.stop_gradient(active)[:, None], ts, INF)
         best_t = jnp.min(ts, axis=1)
-        best_i = grid.overflow[jnp.argmin(ts, axis=1)]
+        best_i = jnp.where(jnp.isinf(best_t), grid.n_tris,
+                           grid.overflow[jnp.argmin(ts, axis=1)])
 
     # ray/AABB slab entry
     bmax = grid.bmin + grid.cell_size * resv.astype(jnp.float32)

@@ -15,16 +15,18 @@ def _supervise_optimize(args):
     """Auto-restart supervisor: re-launch the checkpointed optimize loop as a
     child process (with --resume) until it completes or --max-restarts is
     spent. Recovery = process re-dispatch + exact orbax resume."""
-    import os
     import subprocess
 
-    assert args.checkpoint, "--supervise requires --checkpoint"
+    from raytracer_tpu.utils.hostload import recovery_wait_s
+
+    if not args.checkpoint:
+        raise SystemExit("--supervise requires --checkpoint")
     base = [sys.executable, "-m", "raytracer_tpu.cli", "optimize",
             "--steps", str(args.steps), "--lr", str(args.lr),
             "--out", args.out, "--checkpoint", args.checkpoint,
             "--ckpt-every", str(args.ckpt_every),
             "--log-every", str(args.log_every)]
-    wait = 0.0 if os.environ.get("JAX_PLATFORMS") == "cpu" else 120.0
+    wait = recovery_wait_s()
     for attempt in range(args.max_restarts + 1):
         cmd = base + (["--resume"] if (attempt or args.resume) else [])
         r = subprocess.run(cmd)
@@ -33,6 +35,8 @@ def _supervise_optimize(args):
                 print(f"# supervised optimize finished after {attempt} "
                       f"restart(s)", file=sys.stderr)
             return
+        if attempt == args.max_restarts:
+            break  # budget spent — no restart follows, skip the log/backoff
         print(f"# optimize child exit {r.returncode}; restarting with "
               f"--resume ({attempt + 1}/{args.max_restarts})",
               file=sys.stderr, flush=True)
@@ -54,29 +58,31 @@ def _save(path: str, img):
 def cmd_render(args):
     import numpy as np
 
-    from raytracer_tpu.models import presets
+    from raytracer_tpu.utils.hostload import build_tracer, load_scene_cli
 
+    scene, cam, opts = load_scene_cli(args.config if not args.scene else "",
+                                      args.scene, args.width, args.height,
+                                      args.max_depth)
     if args.scene:
-        from raytracer_tpu.io.scenefile import load_scene
-
-        scene, cam, opts = load_scene(args.scene)
         args.config = args.scene
-    else:
-        scene, cam, opts = presets.PRESETS[args.config]()
-    if args.width:
-        opts = dataclasses.replace(opts, width=args.width,
-                                   height=args.height or args.width)
-    if args.max_depth is not None:
-        opts = dataclasses.replace(opts, max_depth=args.max_depth)
+    kind = "grid" if args.grid else args.tracer
     if args.resilient:
         from raytracer_tpu.utils.elastic import render_resilient
 
-        assert args.ssaa == 1, "--resilient does not support --ssaa"
+        if args.ssaa > 1:
+            raise SystemExit("--resilient does not support --ssaa")
+        if args.trace:
+            raise SystemExit("--resilient does not support --trace "
+                             "(workers are separate processes)")
+        if kind == "fused":
+            raise SystemExit("--resilient does not support --tracer fused "
+                             "(the fused megakernel replaces the banded "
+                             "renderer the workers run)")
         t0 = time.perf_counter()
         img, rep = render_resilient(
             config=args.config if not args.scene else "",
             scene_path=args.scene, width=args.width, height=args.height,
-            max_depth=args.max_depth, tracer=args.tracer,
+            max_depth=args.max_depth, tracer=kind,
             min_rows=args.min_rows)
         dt = time.perf_counter() - t0
         print(f"{args.config}: {img.shape[1]}x{img.shape[0]} resilient in "
@@ -86,8 +92,6 @@ def cmd_render(args):
             print("zero-filled rows:", rep.failed_rows)
         _save(args.out, img)
         return
-    tracer = None
-    kind = "grid" if args.grid else args.tracer
     if kind == "fused":
         from raytracer_tpu.ops import fused
 
@@ -107,14 +111,7 @@ def cmd_render(args):
               f"compile)")
         _save(args.out, img)
         return
-    if scene.meshes.count and kind in ("grid", "auto"):
-        from raytracer_tpu.accel.grid import GridTracer
-
-        tracer = GridTracer.build(scene)
-    elif scene.meshes.count and kind == "bvh":
-        from raytracer_tpu.accel.bvh import BVHTracer
-
-        tracer = BVHTracer.build(scene)
+    tracer = build_tracer(scene, kind)
     from raytracer_tpu.renderer import render_banded, render_ssaa
 
     def do_render():
@@ -218,7 +215,7 @@ def cmd_optimize(args):
         upd, s = opt.update(g, s)
         return optax.apply_updates(p, upd), s, val
 
-    fault_after = int(os.environ.get("RT_FAULT_AFTER_STEPS", 0))
+    fault_after = int(os.environ.get("RT_FAULT_AFTER_STEPS") or 0)
     for done, i in enumerate(range(start, args.steps)):
         if fault_after and done >= fault_after:
             print(f"# injected fault after {done} steps (process step {i})",

@@ -116,11 +116,15 @@ def render_resilient(config: str = "", scene_path: str = "",
     """
     import time
 
-    scene, _, opts = _load_host(config, scene_path, width, height, max_depth)
+    from raytracer_tpu.utils.hostload import load_scene_cli, recovery_wait_s
+
+    if min_rows < 1:
+        raise ValueError(f"min_rows must be >= 1, got {min_rows}")
+    scene, _, opts = load_scene_cli(config, scene_path, width, height,
+                                    max_depth)
     height, width = opts.height, opts.width
     if retry_wait is None:
-        # CPU sim recovers instantly; the shared TPU worker needs ~2 min
-        retry_wait = 0.0 if os.environ.get("JAX_PLATFORMS") == "cpu" else 120.0
+        retry_wait = recovery_wait_s()
     if band_rows is None:
         from raytracer_tpu.renderer import _auto_band_rows
 
@@ -164,23 +168,6 @@ def render_resilient(config: str = "", scene_path: str = "",
     return img, rep
 
 
-def _load_host(config, scene_path, width, height, max_depth):
-    """Scene + camera + opts WITHOUT touching a device (host numpy pytrees)."""
-    if scene_path:
-        from raytracer_tpu.io.scenefile import load_scene
-
-        scene, cam, opts = load_scene(scene_path)
-    else:
-        from raytracer_tpu.models import presets
-
-        scene, cam, opts = presets.PRESETS[config]()
-    if width:
-        opts = dataclasses.replace(opts, width=width,
-                                   height=height or width)
-    if max_depth is not None:
-        opts = dataclasses.replace(opts, max_depth=max_depth)
-    return scene, cam, opts
-
 
 # ---------------------------------------------------------------- worker ----
 
@@ -216,17 +203,11 @@ def _worker_main(args):
     except Exception:
         pass
 
-    scene, cam, opts = _load_host(args.config, args.scene, args.width,
-                                  args.height, args.max_depth)
-    tracer = None
-    if scene.meshes.count and args.tracer in ("grid", "auto"):
-        from raytracer_tpu.accel.grid import GridTracer
+    from raytracer_tpu.utils.hostload import build_tracer, load_scene_cli
 
-        tracer = GridTracer.build(scene)
-    elif scene.meshes.count and args.tracer == "bvh":
-        from raytracer_tpu.accel.bvh import BVHTracer
-
-        tracer = BVHTracer.build(scene)
+    scene, cam, opts = load_scene_cli(args.config, args.scene, args.width,
+                                      args.height, args.max_depth)
+    tracer = build_tracer(scene, args.tracer)
 
     from raytracer_tpu.renderer import render
 

@@ -263,6 +263,15 @@ def test_grid_active_mask_parks_lanes(mesh_scene):
     # parked lanes: the grid contributes nothing (analytic prims still hit)
     tb, _ = grid_walk(tr._grid, *tr._soa, orig, d, 1e-4, active=active)
     assert np.isinf(np.asarray(tb)[~act]).all()
+    # ... including via the overflow brute-scan (capacity=2 forces spill)
+    tr2 = GridTracer.build(scene, capacity=2)
+    assert tr2._grid.overflow.shape[0] > 0
+    tb2, _ = grid_walk(tr2._grid, *tr2._soa, orig, d, 1e-4, active=active)
+    assert np.isinf(np.asarray(tb2)[~act]).all()
+    full2 = tr2.nearest(orig, d, 1e-4, 512)
+    masked2 = tr2.nearest(orig, d, 1e-4, 512, active=active)
+    np.testing.assert_array_equal(np.asarray(masked2.t)[act],
+                                  np.asarray(full2.t)[act])
 
     max_t = jnp.full((n,), 4.0, jnp.float32)
     occ_full = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512))
