@@ -22,10 +22,12 @@ def _supervise_optimize(args):
     if not args.checkpoint:
         raise SystemExit("--supervise requires --checkpoint")
     base = [sys.executable, "-m", "raytracer_tpu.cli", "optimize",
-            "--steps", str(args.steps), "--lr", str(args.lr),
+            "--preset", args.preset, "--steps", str(args.steps),
             "--out", args.out, "--checkpoint", args.checkpoint,
             "--ckpt-every", str(args.ckpt_every),
             "--log-every", str(args.log_every)]
+    if args.lr is not None:
+        base += ["--lr", str(args.lr)]
     wait = recovery_wait_s()
     for attempt in range(args.max_restarts + 1):
         cmd = base + (["--resume"] if (attempt or args.resume) else [])
@@ -172,19 +174,67 @@ def cmd_optimize(args):
     from raytracer_tpu.models import presets
     from raytracer_tpu.renderer import render
 
-    init, target, cam, opts = presets.config5_inverse()
-    timg = render(target, cam, opts)[0]
-    params = {"center": jnp.asarray(init.spheres.center),
-              "albedo": jnp.asarray(init.materials.albedo)}
+    if args.preset == "mesh":
+        # geometry recovery (presets.config6_inverse_mesh): a radial
+        # displacement field over the icosphere, normals re-derived
+        # differentiably from the moving vertices every step
+        from raytracer_tpu.io.meshgen import vertex_normals_jnp
+
+        init, target, cam, opts = presets.config6_inverse_mesh()
+        timg = render(target, cam, opts)[0]
+        iverts = jnp.asarray(init.meshes.verts)
+        rdirs = iverts - jnp.mean(iverts, axis=0)
+        rdirs = rdirs / jnp.linalg.norm(rdirs, axis=1, keepdims=True)
+        tris = jnp.asarray(init.meshes.tris)
+        params = {"disp": jnp.zeros((iverts.shape[0],), jnp.float32)}
+
+        def apply_params(p):
+            v = iverts + p["disp"][:, None] * rdirs
+            return init.replace(meshes=dataclasses.replace(
+                init.meshes, verts=v,
+                normals=vertex_normals_jnp(v, tris)))
+
+        def report(p):
+            from raytracer_tpu.io.meshgen import vertex_normals
+
+            tv = np.asarray(target.meshes.verts)
+            for tag, pr in (("init", {"disp": jnp.zeros_like(p["disp"])}),
+                            ("recovered", p)):
+                v = np.asarray(apply_params(pr).meshes.verts)
+                n = vertex_normals(v, np.asarray(tris))
+                vis = (n * (np.asarray(cam.pos)[None] - v)).sum(1) > 0
+                err = np.abs(v - tv)
+                print(f"{tag}: vertex L1 visible {err[vis].mean():.5f} "
+                      f"hidden {err[~vis].mean():.5f}")
+
+        # the pixel loss is noisy in geometry (winner ids flip discretely as
+        # vertices move): a decayed step settles where a constant one
+        # oscillates then diverges (measured)
+        lr = args.lr if args.lr is not None else 2e-3
+        opt = optax.adam(optax.exponential_decay(
+            lr, transition_steps=80, decay_rate=0.5))
+    else:
+        init, target, cam, opts = presets.config5_inverse()
+        timg = render(target, cam, opts)[0]
+        params = {"center": jnp.asarray(init.spheres.center),
+                  "albedo": jnp.asarray(init.materials.albedo)}
+
+        def apply_params(p):
+            return init.replace(
+                spheres=dataclasses.replace(init.spheres, center=p["center"]),
+                materials=dataclasses.replace(
+                    init.materials, albedo=jnp.clip(p["albedo"], 0.0, 1.0)))
+
+        def report(p):
+            print("recovered centers:\n", np.asarray(p["center"]))
+            print("recovered albedos:\n",
+                  np.clip(np.asarray(p["albedo"]), 0, 1))
+
+        opt = optax.adam(args.lr if args.lr is not None else 1e-2)
 
     def loss(p):
-        sc = init.replace(
-            spheres=dataclasses.replace(init.spheres, center=p["center"]),
-            materials=dataclasses.replace(
-                init.materials, albedo=jnp.clip(p["albedo"], 0.0, 1.0)))
-        return jnp.mean((render(sc, cam, opts)[0] - timg) ** 2)
+        return jnp.mean((render(apply_params(p), cam, opts)[0] - timg) ** 2)
 
-    opt = optax.adam(args.lr)
     state = opt.init(params)
     start = 0
 
@@ -230,14 +280,8 @@ def cmd_optimize(args):
                 {"params": params, "opt_state": state}))
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
-    sc = init.replace(
-        spheres=dataclasses.replace(init.spheres, center=params["center"]),
-        materials=dataclasses.replace(
-            init.materials, albedo=jnp.clip(params["albedo"], 0.0, 1.0)))
-    save_png(args.out, np.asarray(render(sc, cam, opts)[0]))
-    print("recovered centers:\n", np.asarray(params["center"]))
-    print("recovered albedos:\n",
-          np.clip(np.asarray(params["albedo"]), 0, 1))
+    save_png(args.out, np.asarray(render(apply_params(params), cam, opts)[0]))
+    report(params)
     print("wrote", args.out)
 
 
@@ -293,8 +337,13 @@ def main(argv=None):
     pr.set_defaults(fn=cmd_render)
 
     po = sub.add_parser("optimize")
+    po.add_argument("--preset", default="spheres",
+                    choices=["spheres", "mesh"],
+                    help="spheres = config5 (centers+albedos); mesh = "
+                         "config6 (vertex displacement-field recovery)")
     po.add_argument("--steps", type=int, default=200)
-    po.add_argument("--lr", type=float, default=1e-2)
+    po.add_argument("--lr", type=float, default=None,
+                    help="default: 1e-2 (spheres) / 2e-3 exp-decayed (mesh)")
     po.add_argument("--out", default="recovered.png")
     po.add_argument("--checkpoint", default="",
                     help="orbax checkpoint dir (enables save)")

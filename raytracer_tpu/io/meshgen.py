@@ -73,6 +73,22 @@ def vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
     return (n / norm).astype(np.float32)
 
 
+def vertex_normals_jnp(verts, tris):
+    """Differentiable twin of vertex_normals (jnp scatter-add): inverse
+    rendering over mesh geometry re-derives smooth normals from the moving
+    vertex parameters inside the loss, so shading gradients flow back to
+    `verts` through the normals too (not just through hit positions)."""
+    import jax.numpy as jnp
+
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)  # area-weighted
+    n = jnp.zeros_like(verts)
+    for k in range(3):
+        n = n.at[tris[:, k]].add(fn)
+    norm = jnp.linalg.norm(n, axis=1, keepdims=True)
+    return n / jnp.where(norm == 0, 1.0, norm)
+
+
 def quad(p00, p10, p11, p01) -> tuple[np.ndarray, np.ndarray]:
     """Two triangles for the quad with corners in CCW order → (verts[4,3], tris[2,3])."""
     verts = np.array([p00, p10, p11, p01], np.float32)

@@ -193,12 +193,50 @@ def config5_inverse():
     return init, target, cam, opts
 
 
+def config6_inverse_mesh():
+    """Inverse rendering over MESH GEOMETRY: recover the vertex positions of a
+    bumpy blob from a target render, starting from the smooth icosphere with
+    the same topology. The C13 capability at mesh scale — gradients flow to
+    `Meshes.verts` through both the hit recompute (ops/trace.surface_at) and
+    the differentiable smooth normals (io/meshgen.vertex_normals_jnp), which
+    the optimizer must re-derive from the moving vertices inside the loss.
+    Returns (scene_init, scene_target, camera, opts)."""
+    def build(verts, tris):
+        mats = _mats([
+            (DIFFUSE_AND_GLOSSY, (0.62, 0.45, 0.3), 0.8, 0.15, 25.0, 1.3),
+            (DIFFUSE_AND_GLOSSY, (0.5, 0.5, 0.5), 0.8, 0.0, 10.0, 1.3),
+        ])
+        return make_scene(
+            meshes=Meshes.build(verts, tris,
+                                np.zeros((tris.shape[0],), np.int32),
+                                normals=meshgen.vertex_normals(verts, tris)),
+            planes=Planes.build([(0.0, -1.5, 0.0)], [(0.0, 1.0, 0.0)],
+                                [(1.0, 0.0, 0.0)], [(0.0, 0.0, 1.0)], [1]),
+            materials=mats,
+            lights=Lights.build([(-3.0, 6.0, 1.0), (3.0, 4.0, 0.5)],
+                                [(0.75, 0.75, 0.75), (0.4, 0.4, 0.4)]),
+        )
+
+    off = np.array([0.0, -0.1, -4.2], np.float32)
+    # same icosphere topology: init and target differ ONLY in vertex positions
+    # (bump small enough that silhouettes overlap — visibility gradients are
+    # zero by design, docs/SPEC.md, so shading gradients must carry recovery)
+    tv, tris = meshgen.bumpy_sphere(subdiv=2, radius=1.2, bump=0.08)
+    iv, _ = meshgen.icosphere(subdiv=2, radius=1.2)
+    target = build(tv + off, tris)
+    init = build(iv + off, tris)
+    cam = Camera.build(pos=(0.0, 0.4, 1.0), fov_deg=55.0)
+    opts = RenderOptions(width=96, height=96, max_depth=0)
+    return init, target, cam, opts
+
+
 PRESETS = {
     "config1": config1_sphere_plane,
     "config2": config2_mirror_spheres,
     "config3": config3_cornell,
     "config4": config4_mesh,
     "config5": config5_inverse,
+    "config6": config6_inverse_mesh,   # (init, target, cam, opts), like 5
 }
 
 

@@ -195,3 +195,23 @@ def test_grad_camera_params():
     eps = 1e-3
     fd = (float(loss(pos0, fov0 + eps)) - float(loss(pos0, fov0 - eps))) / (2 * eps)
     assert float(gf) == pytest.approx(fd, rel=0.05, abs=5e-5)
+
+
+def test_inverse_mesh_preset_recovers_geometry(tmp_path, capsys):
+    """config6 end-to-end (cli optimize --preset mesh, short run): pixel loss
+    falls and camera-visible vertex error improves — gradients flow to
+    Meshes.verts through BOTH the hit recompute and the differentiable
+    smooth normals (io/meshgen.vertex_normals_jnp)."""
+    import json
+    import re
+
+    from raytracer_tpu import cli
+
+    cli.main(["optimize", "--preset", "mesh", "--steps", "30",
+              "--log-every", "1", "--out", str(tmp_path / "m.png")])
+    out = capsys.readouterr().out
+    losses = [json.loads(l)["loss"] for l in out.splitlines()
+              if l.startswith('{"step"')]
+    assert losses[-1] < 0.8 * losses[0]
+    vis = [float(m) for m in re.findall(r"visible (\d+\.\d+)", out)]
+    assert len(vis) == 2 and vis[1] < 0.85 * vis[0]  # init -> recovered
