@@ -71,8 +71,6 @@ def cmd_render(args):
     if args.resilient:
         from raytracer_tpu.utils.elastic import render_resilient
 
-        if args.ssaa > 1:
-            raise SystemExit("--resilient does not support --ssaa")
         if args.trace:
             raise SystemExit("--resilient does not support --trace "
                              "(workers are separate processes)")
@@ -84,11 +82,12 @@ def cmd_render(args):
         img, rep = render_resilient(
             config=args.config if not args.scene else "",
             scene_path=args.scene, width=args.width, height=args.height,
-            max_depth=args.max_depth, tracer=kind,
+            max_depth=args.max_depth, tracer=kind, ssaa=args.ssaa,
             min_rows=args.min_rows)
         dt = time.perf_counter() - t0
-        print(f"{args.config}: {img.shape[1]}x{img.shape[0]} resilient in "
-              f"{dt:.2f}s — {rep.bands_ok} bands ok, {rep.bands_failed} "
+        aa = f" ssaa={args.ssaa}" if args.ssaa > 1 else ""
+        print(f"{args.config}: {img.shape[1]}x{img.shape[0]}{aa} resilient "
+              f"in {dt:.2f}s — {rep.bands_ok} bands ok, {rep.bands_failed} "
               f"failed, {rep.retries} retries, {rep.rays:.3g} rays")
         if rep.failed_rows:
             print("zero-filled rows:", rep.failed_rows)

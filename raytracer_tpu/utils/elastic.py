@@ -59,11 +59,11 @@ class BandReport:
 
 def _worker_cmd(config: str, scene_path: str, row0: int, rows: int,
                 width: int, height: int, max_depth: int | None, tracer: str,
-                out_npz: str):
+                ssaa: int, out_npz: str):
     cmd = [sys.executable, "-m", "raytracer_tpu.utils.elastic",
            "--row0", str(row0), "--rows", str(rows),
            "--width", str(width), "--height", str(height),
-           "--tracer", tracer, "--npz", out_npz]
+           "--tracer", tracer, "--ssaa", str(ssaa), "--npz", out_npz]
     if scene_path:
         cmd += ["--scene", scene_path]
     else:
@@ -74,13 +74,13 @@ def _worker_cmd(config: str, scene_path: str, row0: int, rows: int,
 
 
 def _run_band(config, scene_path, row0, rows, width, height, max_depth,
-              tracer, timeout):
+              tracer, ssaa, timeout):
     """One worker launch → (img [rows,W,3] | None, rays)."""
     fd, path = tempfile.mkstemp(suffix=".npz", prefix="rt_band_")
     os.close(fd)
     try:
         cmd = _worker_cmd(config, scene_path, row0, rows, width, height,
-                          max_depth, tracer, path)
+                          max_depth, tracer, ssaa, path)
         try:
             r = subprocess.run(cmd, cwd=_REPO, timeout=timeout,
                                capture_output=True, text=True)
@@ -105,8 +105,8 @@ def _run_band(config, scene_path, row0, rows, width, height, max_depth,
 def render_resilient(config: str = "", scene_path: str = "",
                      width: int = 0, height: int = 0,
                      max_depth: int | None = None, tracer: str = "auto",
-                     band_rows: int | None = None, min_rows: int = 8,
-                     retry_wait: float | None = None,
+                     ssaa: int = 1, band_rows: int | None = None,
+                     min_rows: int = 8, retry_wait: float | None = None,
                      band_timeout: float = 1800.0):
     """Full-frame render via re-dispatchable band subprocesses.
 
@@ -128,7 +128,13 @@ def render_resilient(config: str = "", scene_path: str = "",
     if band_rows is None:
         from raytracer_tpu.renderer import _auto_band_rows
 
-        band_rows = _auto_band_rows(scene, opts)
+        if ssaa > 1 and scene.meshes.count:
+            # base-image rows per band such that the ssaa× band program
+            # stays under the device budget (mirrors renderer.render_ssaa)
+            budget = 2_400_000 // (opts.max_depth + 1)
+            band_rows = max(1, budget // (width * ssaa * ssaa))
+        else:
+            band_rows = _auto_band_rows(scene, opts)
 
     img = np.zeros((height, width, 3), np.float32)
     rep = BandReport()
@@ -140,7 +146,7 @@ def render_resilient(config: str = "", scene_path: str = "",
 
     def attempt(row0, rows):
         return _run_band(config, scene_path, row0, rows, width, height,
-                         max_depth, tracer, band_timeout)
+                         max_depth, tracer, ssaa, band_timeout)
 
     def do_piece(row0, rows):
         band, rays = attempt(row0, rows)
@@ -211,8 +217,18 @@ def _worker_main(args):
 
     from raytracer_tpu.renderer import render
 
-    img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer,
-                         row0=args.row0, rows=args.rows)
+    if args.ssaa > 1:
+        # ssaa× band: trace the hi-res slice of the same projection and
+        # box-average, exactly as renderer.render_ssaa does per band
+        f = args.ssaa
+        hi = dataclasses.replace(opts, width=opts.width * f,
+                                 height=opts.height * f)
+        img, traced = render(scene, cam, hi, count_rays=True, tracer=tracer,
+                             row0=args.row0 * f, rows=args.rows * f)
+        img = img.reshape(args.rows, f, opts.width, f, 3).mean(axis=(1, 3))
+    else:
+        img, traced = render(scene, cam, opts, count_rays=True, tracer=tracer,
+                             row0=args.row0, rows=args.rows)
     img = np.asarray(img)  # the band's single D2H readback
     np.savez(args.npz, img=img, rays=float(traced))
 
@@ -231,6 +247,7 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--tracer", default="auto")
+    p.add_argument("--ssaa", type=int, default=1)
     p.add_argument("--npz", required=True)
     _worker_main(p.parse_args(argv))
 

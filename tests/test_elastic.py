@@ -121,3 +121,27 @@ def test_optimize_supervised_survives_crashes(tmp_path, monkeypatch, capfd):
     assert sorted(clean) == list(range(8))
     for s in range(8):
         np.testing.assert_allclose(crashed[s], clean[s], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_resilient_ssaa_recovers_and_averages(tmp_path, monkeypatch,
+                                              cpu_subproc_env):
+    """--resilient --ssaa: faulted run == fault-free run bitwise, and the
+    per-band box-average matches averaging a raw 2× worker render."""
+    clean, rep0 = render_resilient(config="config1", width=48, ssaa=2,
+                                   band_rows=24, min_rows=8, retry_wait=0)
+    assert rep0.bands_failed == 0
+
+    cd = tmp_path / "cd.txt"
+    cd.write_text("1")
+    monkeypatch.setenv("RT_FAULT_COUNTDOWN_FILE", str(cd))
+    img, rep = render_resilient(config="config1", width=48, ssaa=2,
+                                band_rows=24, min_rows=8, retry_wait=0)
+    assert rep.bands_failed == 0 and rep.retries >= 1
+    np.testing.assert_array_equal(img, clean)
+
+    monkeypatch.delenv("RT_FAULT_COUNTDOWN_FILE")
+    hi, _ = render_resilient(config="config1", width=96, band_rows=96,
+                             min_rows=8, retry_wait=0)  # raw 2x frame
+    want = hi.reshape(48, 2, 48, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(clean, want, rtol=1e-6, atol=1e-6)
