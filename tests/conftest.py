@@ -14,6 +14,17 @@ if os.environ.get("RT_TESTS_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compile cache: the suite is compile-bound (~19 min cold); jitted
+# programs (render_banded bands, grad programs, …) reload across runs/sessions.
+# Only jax.jit-ed computations are cached — eager op-by-op dispatch is not.
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 
