@@ -88,13 +88,74 @@ def _pack_fused(amin, amax, hit, miss):
     return aabb6, links2
 
 
+_SAH_BINS = 16
+
+
+def _sah_split(c, bmin, bmax, leaf_size):
+    """Binned SAH over the node's triangles → (axis, mid_offset, perm).
+
+    c/bmin/bmax: [k,3] centroids and per-triangle AABBs (node-local).
+    Standard binned build (Wald 2007): 16 centroid bins per axis, split
+    plane minimizing Σ count·surface_area of the two children. Falls back
+    to the median split when every candidate is degenerate (all centroids
+    coincident on every axis)."""
+    k = c.shape[0]
+    best = (None, None, np.inf)  # (axis, bin, cost)
+    binned = {}
+    for ax in range(3):
+        lo, hi = c[:, ax].min(), c[:, ax].max()
+        if hi <= lo:
+            continue
+        b = np.minimum(((c[:, ax] - lo) * (_SAH_BINS / (hi - lo))).astype(
+            np.int64), _SAH_BINS - 1)
+        binned[ax] = b
+        counts = np.bincount(b, minlength=_SAH_BINS)
+        # per-bin grown AABBs via segment min/max
+        bn_min = np.full((_SAH_BINS, 3), np.inf)
+        bn_max = np.full((_SAH_BINS, 3), -np.inf)
+        np.minimum.at(bn_min, b, bmin)
+        np.maximum.at(bn_max, b, bmax)
+
+        def area(mn, mx):
+            d = np.maximum(mx - mn, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        lmin = np.minimum.accumulate(bn_min, axis=0)
+        lmax = np.maximum.accumulate(bn_max, axis=0)
+        rmin = np.minimum.accumulate(bn_min[::-1], axis=0)[::-1]
+        rmax = np.maximum.accumulate(bn_max[::-1], axis=0)[::-1]
+        nl = np.cumsum(counts)[:-1]                 # after bin i, i=0..B-2
+        nr = k - nl
+        cost = np.where(
+            (nl > 0) & (nr > 0),
+            nl * area(lmin[:-1], lmax[:-1]) + nr * area(rmin[1:], rmax[1:]),
+            np.inf)
+        i = int(np.argmin(cost))
+        if cost[i] < best[2]:
+            best = (ax, i, float(cost[i]))
+    if best[0] is None:  # fully degenerate node: median on widest axis
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        perm = np.argsort(c[:, ax], kind="stable")
+        return ax, k // 2, perm
+    ax, i, _ = best
+    go_right = binned[ax] > i
+    perm = np.argsort(go_right, kind="stable")  # left block first, stable
+    return ax, int(k - go_right.sum()), perm
+
+
 def build_bvh(verts, tris, leaf_size: int = 8,
-              pregather: bool | None = None) -> BVHData:
+              pregather: bool | None = None,
+              sah: bool | None = None) -> BVHData:
     """Host-side build from concrete arrays (not traceable).
 
     Median split on the widest centroid axis; leaves hold ≤ `leaf_size`
     triangles. Produces per-octant hit/miss threading so the device walk
     visits the near child first for any ray direction.
+
+    sah=True (env RT_BVH_SAH=1): binned surface-area-heuristic splits (16
+    centroid bins per axis, min Σ area·count) instead of median — better
+    trees on unevenly distributed geometry, identical walk semantics. NumPy
+    builder only (the native twin stays median; SAH builds skip it).
     """
     import os
 
@@ -102,6 +163,8 @@ def build_bvh(verts, tris, leaf_size: int = 8,
 
     if pregather is None:
         pregather = os.environ.get("RT_BVH_PREGATHER") == "1"
+    if sah is None:
+        sah = os.environ.get("RT_BVH_SAH") == "1"
     t = np.asarray(tris).shape[0]
     assert t > 0, "BVH over empty mesh"
     # Round vertices through f32 FIRST so both builders consume identical
@@ -110,6 +173,8 @@ def build_bvh(verts, tris, leaf_size: int = 8,
     verts = np.asarray(verts, np.float32)
     tris_i = np.asarray(tris)
     lib = native_lib()
+    if sah:
+        lib = None  # SAH is NumPy-only; don't take the median native path
     if lib is not None and lib.has_bvh:
         amin, amax, leaf, hit, miss = lib.bvh_build(
             verts, np.asarray(tris, np.int32), leaf_size)
@@ -161,12 +226,16 @@ def build_bvh(verts, tris, leaf_size: int = 8,
             leaf_rows[node][: hi - lo] = ids.astype(np.int32)
             continue
         c = cent[ids]
-        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        if sah:
+            ax, mid_off, perm = _sah_split(c, tmin[ids], tmax[ids], leaf_size)
+        else:
+            ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+            # median split (argsort is stable → deterministic builds)
+            perm = np.argsort(c[:, ax], kind="stable")
+            mid_off = (hi - lo) // 2
         axis[node] = ax
-        # median split (argsort is stable → deterministic builds)
-        perm = np.argsort(c[:, ax], kind="stable")
         order[lo:hi] = ids[perm]
-        mid = lo + (hi - lo) // 2
+        mid = lo + mid_off
         l, r = alloc(), alloc()
         left[node], right[node] = l, r
         stack.append((r, mid, hi))

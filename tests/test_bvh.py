@@ -281,3 +281,41 @@ def test_bvh_active_mask_parks_lanes(mesh_scene):
     occ_mask = np.asarray(tr.occluded(orig, d, max_t, 1e-4, 512,
                                       active=active))
     np.testing.assert_array_equal(occ_mask[act], occ_full[act])
+
+
+def test_bvh_sah_build_agrees_with_median(mesh_scene):
+    """RT_BVH_SAH binned-SAH build: same hits as the median-split tree (walk
+    semantics are build-agnostic), smaller tree on curved meshes."""
+    scene, cam, opts = mesh_scene
+    verts = np.asarray(scene.meshes.verts)
+    tris = np.asarray(scene.meshes.tris)
+    bm = build_bvh(verts, tris, leaf_size=8, sah=False)
+    bs = build_bvh(verts, tris, leaf_size=8, sah=True)
+    assert bs.n_nodes <= bm.n_nodes
+    t = scene.meshes.count
+    leaf = np.asarray(bs.leaf_tris)
+    listed = set(leaf[leaf != t].tolist())
+    assert listed == set(range(t))  # every triangle in exactly the SAH tree
+
+    v0, e1, e2 = _tri_soa(verts, tris)
+    rng = np.random.default_rng(5)
+    orig = jnp.asarray(rng.normal(size=(512, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(512, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    tm, _ = bvh_walk(bm, v0, e1, e2, orig, d, 1e-4)
+    ts, _ = bvh_walk(bs, v0, e1, e2, orig, d, 1e-4)
+    np.testing.assert_allclose(np.asarray(tm), np.asarray(ts),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bvh_sah_degenerate_centroids():
+    """All-coincident centroids: SAH falls back to the median split."""
+    v = np.array([[0, 0, -3], [1, 0, -3], [0, 1, -3]], np.float32)
+    verts = np.concatenate([v + np.zeros((1, 3), np.float32)] * 17)
+    tris = (np.arange(51).reshape(17, 3)).astype(np.int32)
+    b = build_bvh(verts, tris, leaf_size=2, sah=True)
+    t = 17
+    leaf = np.asarray(b.leaf_tris)
+    assert set(leaf[leaf != t].tolist()) == set(range(t))
