@@ -73,6 +73,15 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
         opts = dataclasses.replace(opts, max_depth=max_depth)
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
+    # compacted wavefronts for glass scenes (default on; RT_BENCH_COMPACT=0
+    # off, =N caps at N·n0): config3 d4 otherwise runs 31× n0 buffer lanes at
+    # 5.5% occupancy (benchmarks/occupancy.py; ~6× fwd on the wavefront
+    # path). Exactness asserted post-timing via the dropped-lane counter.
+    comp = os.environ.get("RT_BENCH_COMPACT", "")
+    cap = (1 if scene.has_glass else None) if comp == "" else \
+        (None if comp == "0" else int(comp))
+    if cap is not None and scene.has_glass:
+        opts = dataclasses.replace(opts, compact_cap=cap)
     tracer = None
     if tracer_kind is None:
         tracer_kind = os.environ.get("RT_BENCH_TRACER", "grid")
@@ -168,12 +177,16 @@ def phase_fwd(config, repeats=2, **kw):
     # one program per band HEIGHT (row0 is a traced scalar — raygen supports
     # it), so n bands cost ≤2 compiles: the body height + a short last band
     fns = {}
+    compact = opts.compact_cap is not None
     for _, rows in bands:
         if rows not in fns:
             @jax.jit
             def band_fwd(eps, s, c, tr, r0, rows=rows):
                 c2 = dataclasses.replace(c, pos=c.pos + eps)
-                return render(s, c2, opts, tracer=tr, row0=r0, rows=rows)[0]
+                out = render(s, c2, opts, tracer=tr, row0=r0, rows=rows)
+                # compact mode: carry the dropped-lane counter out of the
+                # same program (a scalar — free) for the post-timing gate
+                return (out[0], out[2]) if compact else out[0]
 
             fns[rows] = band_fwd
     calls = [(fns[rows], r0) for r0, rows in bands]
@@ -192,8 +205,17 @@ def phase_fwd(config, repeats=2, **kw):
               file=sys.stderr, flush=True)
         jax.block_until_ready(f(z, scene, cam, tracer, r0))
     print("# fwd bands warm; timing…", file=sys.stderr, flush=True)
-    img, t_fwd = _chained_time(fwd, repeats=repeats)
+    out, t_fwd = _chained_time(fwd, repeats=repeats)
+    img = out[0] if compact else out
     float(img[0, 0, 0])  # validation readback — async faults surface here
+    if compact:
+        # exactness gate (post-timing readbacks, programs already warm): no
+        # alive lane may have been dropped by the compaction cap in ANY band
+        dropped = sum(float(f(z, scene, cam, tracer, r0)[1])
+                      for f, r0 in calls)
+        assert dropped == 0, (
+            f"compact_cap={opts.compact_cap} dropped {dropped} alive lanes — "
+            f"raise RT_BENCH_COMPACT or set 0")
     return {"config": config, "width": opts.width, "height": opts.height,
             "max_depth": opts.max_depth, "fwd_s": t_fwd,
             "fwd_bands": len(bands), "device": str(jax.devices()[0])}

@@ -112,16 +112,25 @@ def cmd_render(args):
               f"compile)")
         _save(args.out, img)
         return
+    if args.compact and scene.has_glass:
+        opts = dataclasses.replace(opts, compact_cap=args.compact)
+    compact = opts.compact_cap is not None and scene.has_glass
     tracer = build_tracer(scene, kind)
     from raytracer_tpu.renderer import render_banded, render_ssaa
 
     def do_render():
         if args.ssaa > 1:
-            return render_ssaa(scene, cam, opts, factor=args.ssaa,
-                               tracer=tracer, count_rays=True)
-        # banded: jitted, and mesh scenes stay under the TPU program-size
-        # fault budget at any resolution (one compile per band height)
-        return render_banded(scene, cam, opts, count_rays=True, tracer=tracer)
+            out = render_ssaa(scene, cam, opts, factor=args.ssaa,
+                              tracer=tracer, count_rays=True)
+        else:
+            # banded: jitted, and mesh scenes stay under the TPU program-size
+            # fault budget at any resolution (one compile per band height)
+            out = render_banded(scene, cam, opts, count_rays=True,
+                                tracer=tracer)
+        if compact and float(out[2]) > 0:
+            print(f"WARNING: compaction dropped {float(out[2]):.0f} alive "
+                  f"lanes — image is missing radiance; raise --compact")
+        return out[0], out[1]
 
     t0 = time.perf_counter()
     if args.trace:
@@ -323,6 +332,11 @@ def main(argv=None):
                          "for scenes without big meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
+    pr.add_argument("--compact", type=int, default=0,
+                    help="wavefront lane compaction cap (glass scenes): keep "
+                         "at most N x primary-ray lanes per bounce instead "
+                         "of doubling buffers — ~5x faster on config3; "
+                         "warns if any alive lane is dropped")
     pr.add_argument("--ssaa", type=int, default=1,
                     help="supersampling factor: trace an N× frame and "
                          "box-average N² subsamples per pixel")

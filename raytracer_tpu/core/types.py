@@ -286,3 +286,9 @@ class RenderOptions:
     tri_chunk: int = 1024    # triangles per inner scan step in the jnp trace
     use_pallas: bool = False  # Pallas megakernel for trace (TPU); jnp otherwise
     use_grid: bool = False    # uniform-grid acceleration for meshes
+    compact_cap: int | None = None  # wavefront lane compaction: cap the ray
+    # buffer at compact_cap×(primary rays) per bounce, keeping alive lanes
+    # (glass scenes otherwise DOUBLE the buffer per bounce while occupancy
+    # craters — measured 5.5% weighted on config3 d4, benchmarks/occupancy).
+    # Exact iff no alive lane overflows the cap — render() then returns the
+    # dropped-lane count for the caller to check (see renderer.render).

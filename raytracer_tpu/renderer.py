@@ -31,13 +31,33 @@ from raytracer_tpu.ops.safemath import clamp01, normalize
 from raytracer_tpu.ops.trace import nearest_hit, surface_at
 
 
-def _fold(x, n0):
-    """[k·n0, C] buffer → per-pixel [n0, C] by summing the k child slots."""
-    return x.reshape(-1, n0, x.shape[-1]).sum(axis=0)
+def _fold(x, n0, pix=None):
+    """[k·n0, C] buffer → per-pixel [n0, C] by summing the k child slots.
+
+    With `pix` [k·n0] given (compacted wavefronts, where lane order no longer
+    encodes the pixel), fold by scatter-add on the carried pixel ids instead —
+    same sum up to fp association."""
+    if pix is None:
+        return x.reshape(-1, n0, x.shape[-1]).sum(axis=0)
+    return jnp.zeros((n0, x.shape[-1]), x.dtype).at[pix].add(x)
+
+
+def _compact(state, pix, cap_lanes: int):
+    """Keep the first `cap_lanes` lanes, alive-first (stable) → smaller
+    buffers for the next bounce. Returns (state', pix', dropped) where
+    `dropped` counts alive lanes that did NOT fit (0 ⇒ result exact)."""
+    o, d, thr, alive = state
+    order = jnp.argsort(~alive, stable=True)[:cap_lanes]  # alive lanes first
+    order = jax.lax.stop_gradient(order)
+    kept = alive[order]
+    dropped = (jnp.sum(alive.astype(jnp.float32))
+               - jnp.sum(kept.astype(jnp.float32)))
+    return (o[order], d[order], thr[order], kept), pix[order], dropped
 
 
 def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
-                is_last: bool, count_rays: bool = False, tracer=None):
+                is_last: bool, count_rays: bool = False, tracer=None,
+                pix=None):
     """One wavefront bounce: trace + shade + spawn children.
 
     `state` = (o, d, thr, alive) ray buffers (glass scenes double the buffer
@@ -47,6 +67,11 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
     `traced_inc` counts live trace lanes. This is the single copy of the
     bounce physics — `render_rays` loops it, and parallel/overlap.py reverses
     it bounce-by-bounce with per-bounce gradient psums.
+
+    `pix` [len(state)] i32 carries each lane's pixel id (compacted-wavefront
+    mode, opts.compact_cap): terms fold by scatter-add on `pix` instead of
+    lane order, and `new_state` grows a 5th element — the children's pixel
+    ids. Identical radiance up to scatter-vs-reshape fp association.
     """
     import os
 
@@ -70,14 +95,15 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
 
     # Leaves: miss → background
     miss = alive & ~surf.valid
-    terms = [_fold(jnp.where(miss[:, None], thr * bg, 0.0), n0)]
+    terms = [_fold(jnp.where(miss[:, None], thr * bg, 0.0), n0, pix)]
 
     # Leaves: diffuse hit → local Phong (branchless; masked after)
     is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
     local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
                              opts.tri_chunk, tracer=tracer,
                              active=None if msk is None else is_diff)
-    terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0))
+    terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0,
+                       pix))
     if count_rays:
         traced_inc = traced_inc + jnp.sum(is_diff.astype(jnp.float32)) \
             * scene.lights.count
@@ -93,7 +119,7 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
         # immediately: mirror contributes kr·bg, glass kr·bg + (1−kr)·bg
         # (kr==1 exactly on TIR, so glass always totals 1·bg).
         w = jnp.where(is_mirror, kr, jnp.where(is_glass, 1.0, 0.0))
-        terms.append(_fold(thr * w[:, None] * bg, n0))
+        terms.append(_fold(thr * w[:, None] * bg, n0, pix))
         return terms, None, traced_inc
 
     rdir = normalize(geom.reflect(d, surf.n))
@@ -109,8 +135,12 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
                      jnp.concatenate([rdir, tdir]),
                      jnp.concatenate([thr_r, thr_t]),
                      jnp.concatenate([spec, alive_t]))
+        if pix is not None:
+            new_state = new_state + (jnp.concatenate([pix, pix]),)
     else:
         new_state = (rorig, rdir, thr_r, spec)
+        if pix is not None:
+            new_state = new_state + (pix,)
     return terms, new_state, traced_inc
 
 
@@ -122,7 +152,9 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     ring-streaming, or Pallas); the differentiable surface/shade stages always
     use the full `scene`. Returns (radiance, rays_traced) where rays_traced
     counts every live trace lane (primary + secondary + shadow) — the rays/s
-    numerator.
+    numerator. With opts.compact_cap set on a glass scene, returns
+    (radiance, rays_traced, dropped) — `dropped` counts alive lanes lost to
+    the cap (0 ⇒ radiance exact up to fold fp association).
     """
     scene = _types_as_jax(scene)
     n0 = orig.shape[0]
@@ -130,15 +162,31 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     state = (orig, direc, jnp.ones((n0, 3), jnp.float32),
              jnp.ones((n0,), bool))
     traced = jnp.zeros((), jnp.float32)
+    # compacted-wavefront mode: cap buffers at compact_cap·n0 lanes per bounce
+    # (only glass scenes ever exceed n0). Measured config3 d4: 31× n0 lane
+    # work at 5.5% occupancy without it (benchmarks/occupancy.py).
+    compact = opts.compact_cap is not None and scene.has_glass
+    pix = jnp.arange(n0, dtype=jnp.int32) if compact else None
+    dropped = jnp.zeros((), jnp.float32)
 
     for depth in range(opts.max_depth + 1):
         terms, state, inc = bounce_step(
             scene, state, opts, n0, is_last=depth == opts.max_depth,
-            count_rays=count_rays, tracer=tracer)
+            count_rays=count_rays, tracer=tracer, pix=pix)
         for t in terms:
             radiance = radiance + t
         traced = traced + inc
+        if compact and state is not None:
+            *state, pix = state
+            cap = opts.compact_cap * n0
+            if state[0].shape[0] > cap:
+                state, pix, drop = _compact(tuple(state), pix, cap)
+            else:
+                drop = 0.0
+            dropped = dropped + drop
 
+    if compact:
+        return radiance, traced, dropped
     return radiance, traced
 
 
@@ -153,6 +201,8 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
     parallel tracers, Pallas) — build it outside jit from the concrete scene.
     `row0`/`rows` render a horizontal band of the full-image projection
     (band-split rendering / gradient microbatching); defaults = full image.
+    With opts.compact_cap set on a glass scene returns (image, rays_traced,
+    dropped) — see render_rays; callers check dropped == 0 post-hoc.
     """
     h, w = opts.height, opts.width
     rows = h if rows is None else rows
@@ -167,24 +217,35 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
                                     (n_pad - n_pix, 3))])
     dirs = dirs.reshape(-1, tile, 3)
     orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
+    compact = opts.compact_cap is not None and scene.has_glass
 
     if dirs.shape[0] == 1:
         # single tile: skip the scan wrapper (simpler graph, faster compile)
-        rad, traced = render_rays(scene, orig, dirs[0], opts, count_rays,
-                                  tracer=tracer)
+        out = render_rays(scene, orig, dirs[0], opts, count_rays,
+                          tracer=tracer)
+        rad, traced = out[0], out[1]
+        dropped = out[2] if compact else None
     else:
+        zero = jnp.zeros((), jnp.float32)
+
         def tile_fn(carry, tile_dirs):
-            rad, n = render_rays(scene, orig, tile_dirs, opts, count_rays,
-                                 tracer=tracer)
-            return carry + n, rad
+            out = render_rays(scene, orig, tile_dirs, opts, count_rays,
+                              tracer=tracer)
+            if compact:
+                return (carry[0] + out[1], carry[1] + out[2]), out[0]
+            return carry + out[1], out[0]
 
         if opts.remat_tiles:
             # recompute each tile's forward during backward instead of saving
             # per-tile/per-bounce residuals (HBM: trade FLOPs for memory —
             # backward at 1080p OOMs otherwise)
             tile_fn = jax.checkpoint(tile_fn)
-        traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), dirs)
+        carry0 = (zero, zero) if compact else zero
+        carry, rad = jax.lax.scan(tile_fn, carry0, dirs)
+        traced, dropped = carry if compact else (carry, None)
     img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(rows, w, 3)
+    if compact:
+        return img, traced, dropped
     return img, traced
 
 
@@ -226,14 +287,20 @@ def render_banded(scene: Scene, camera: Camera, opts: RenderOptions,
     """
     band_rows = _auto_band_rows(scene, opts) if band_rows is None else \
         min(band_rows, opts.height)
+    compact = opts.compact_cap is not None and scene.has_glass
     imgs, traced = [], jnp.zeros((), jnp.float32)
+    dropped = jnp.zeros((), jnp.float32)
     for r0 in range(0, opts.height, band_rows):
         rb = min(band_rows, opts.height - r0)
-        img, n = _band_jit(scene, camera, tracer, r0, opts=opts, rows=rb,
-                           count_rays=count_rays)
-        imgs.append(img)
-        traced = traced + n
+        out = _band_jit(scene, camera, tracer, r0, opts=opts, rows=rb,
+                        count_rays=count_rays)
+        imgs.append(out[0])
+        traced = traced + out[1]
+        if compact:
+            dropped = dropped + out[2]
     img = imgs[0] if len(imgs) == 1 else jnp.concatenate(imgs, axis=0)
+    if compact:
+        return img, traced, dropped
     return img, traced
 
 
@@ -265,15 +332,21 @@ def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
         else:
             band_rows = opts.height
     band_rows = min(band_rows, opts.height)
+    compact = opts.compact_cap is not None and scene.has_glass
     imgs, traced = [], jnp.zeros((), jnp.float32)
+    dropped = jnp.zeros((), jnp.float32)
     for r0 in range(0, opts.height, band_rows):
         rb = min(band_rows, opts.height - r0)
-        img, n = _band_jit(scene, camera, tracer, r0 * factor, opts=hi,
-                           rows=rb * factor, count_rays=count_rays)
-        imgs.append(img.reshape(rb, factor, opts.width, factor, 3)
+        out = _band_jit(scene, camera, tracer, r0 * factor, opts=hi,
+                        rows=rb * factor, count_rays=count_rays)
+        imgs.append(out[0].reshape(rb, factor, opts.width, factor, 3)
                     .mean(axis=(1, 3)))
-        traced = traced + n
+        traced = traced + out[1]
+        if compact:
+            dropped = dropped + out[2]
     img = imgs[0] if len(imgs) == 1 else jnp.concatenate(imgs, axis=0)
+    if compact:
+        return img, traced, dropped
     return img, traced
 
 
