@@ -211,33 +211,40 @@ def _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min):
 
 
 def _eval_candidates(orig, direc, idx, soa, tids_tab, v0p, e1p, e2p, t_min):
-    """Candidate eval at table rows `idx` [N] → (ts [N,C], tids [N,C]).
+    """Candidate eval at table rows `idx` [N] or [N,K] → (ts, tids).
+
+    Shape follows idx: [N] → ([N,C], [N,C]); [N,K] → ([N,K·C], [N,K·C]) —
+    K table rows gathered per lane in ONE gather op and flattened into the
+    candidate axis (the fanout walk's whole point: per-gather-op overhead,
+    not bytes, dominates the DDA on TPU — BASELINE.md sweep).
 
     Shared by the grid DDA and BVH walks. Three layouts, identical fp:
     10-col pre-gathered SoA (ids ride column 9; ONE gather), 9-col SoA
     (+ separate id gather), or id gather + per-vertex gathers.
     """
+    n = orig.shape[0]
     if soa is not None and soa.shape[-1] == 10:
-        s = soa[idx]
+        s = soa[idx].reshape(n, -1, 10)
         tids = s[..., 9].astype(jnp.int32)
         ts, _, _ = geom.triangle_tuv(
             orig[:, None, :], direc[:, None, :], s[..., 0:3], s[..., 3:6],
             s[..., 6:9], t_min)
     elif soa is not None:
-        tids = tids_tab[idx]
-        s = soa[idx]
+        tids = tids_tab[idx].reshape(n, -1)
+        s = soa[idx].reshape(n, -1, 9)
         ts, _, _ = geom.triangle_tuv(
             orig[:, None, :], direc[:, None, :], s[..., 0:3], s[..., 3:6],
             s[..., 6:9], t_min)
     else:
-        tids = tids_tab[idx]
+        tids = tids_tab[idx].reshape(n, -1)
         ts = _eval_tris(orig, direc, tids, v0p, e1p, e2p, t_min)
     return ts, tids
 
 
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
               occlusion_max_t=None, fixed_steps: bool = False,
-              skip_steps: int | None = None, active=None):
+              skip_steps: int | None = None, active=None,
+              fanout: int | None = None):
     """Vectorized DDA over all rays → (best_t [N], best_idx [N]).
 
     With `occlusion_max_t` given, lanes park as soon as any hit < max_t is
@@ -258,15 +265,29 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     INF), it just spends the expensive gathers on occupied cells. Measured a
     LOSER on TPU v5e at every S tried (BASELINE.md sweep) — kept as an option.
 
-    NOTE on trace-time env reads: `skip_steps`/`fixed_steps` fall back to env
-    at trace time, so inside one process a flag change after the first jit
-    of a given shape is ignored (cached executable). GridTracer resolves them
-    at build time instead; prefer rebuilding the tracer to mutating env.
+    `fanout=K` (env RT_GRID_FANOUT, default 1) evaluates K consecutive DDA
+    cells per loop iteration with ONE batched candidate gather ([N,K] rows)
+    instead of K separate gathers — per-gather-op overhead, not bytes,
+    dominates the walk on TPU (the 4→1 pregather fold was 1.7×). Lanes may
+    overrun their parking cell by up to K-1 cells; the extra candidates are
+    real intersections at t ≥ best_t (AABB/SAT binning both list a triangle
+    in every cell containing one of its hit points), so results are identical
+    up to the usual exact-t knife-edge tie association — the same class the
+    golden tests already tolerate for RT_GRID_EXACT.
+
+    NOTE on trace-time env reads: `skip_steps`/`fixed_steps`/`fanout` fall
+    back to env at trace time, so inside one process a flag change after the
+    first jit of a given shape is ignored (cached executable). GridTracer
+    resolves them at build time instead; prefer rebuilding the tracer to
+    mutating env.
     """
     import os
 
     if skip_steps is None:
         skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
+    if fanout is None:
+        fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
+    fanout = max(1, fanout)
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -311,6 +332,8 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
     active = inside
     max_steps = nx + ny + nz + 2
+    # each iteration advances `fanout` cells (K-1 intra-batch + 1 post-fold)
+    max_iters = -(-max_steps // fanout)
 
     def parked(best_t, tmax_min):
         if occlusion_max_t is not None:
@@ -320,7 +343,7 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
     def cond(state):
         it, cell, tmax, best_t, best_i, active = state
-        return jnp.any(active) & (it < max_steps)
+        return jnp.any(active) & (it < max_iters)
 
     def dda_step(cell, tmax, may):
         """Advance `may` lanes one cell; returns (cell', tmax', still_in)."""
@@ -342,11 +365,31 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
             may = active & ~done & ~occ
             cell, tmax, still_in = dda_step(cell, tmax, may)
             active &= still_in
+        # collect `fanout` consecutive cells; intra-batch advances use the
+        # pre-batch best_t (stale ⇒ only ever UNDER-parks: best_t shrinks
+        # monotonically, so no lane stops before the sequential walk would —
+        # it just overruns ≤ K-1 cells and folds extra real candidates)
+        cids, masks = [], []
+        for _ in range(fanout - 1):
+            cids.append(jnp.where(active,
+                                  (cell[:, 0] * ny + cell[:, 1]) * nz
+                                  + cell[:, 2], 0))
+            masks.append(active)
+            may = active & ~parked(best_t, jnp.min(tmax, axis=1))
+            cell, tmax, still_in = dda_step(cell, tmax, may)
+            active = may & still_in
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
-        cid = jnp.where(active, cid, 0)
-        ts, tids = _eval_candidates(orig, direc, cid, grid.cell_soa,
+        cids.append(jnp.where(active, cid, 0))
+        masks.append(active)
+        idx = jnp.stack(cids, axis=1) if fanout > 1 else cids[0]
+        ts, tids = _eval_candidates(orig, direc, idx, grid.cell_soa,
                                     grid.cell_tris, v0p, e1p, e2p, t_min)
-        ts = jnp.where(active[:, None], ts, INF)
+        if fanout > 1:  # [N, K·C]: mask each sub-cell's span by its own mask
+            mask = jnp.repeat(jnp.stack(masks, axis=1),
+                              ts.shape[1] // fanout, axis=1)
+        else:
+            mask = jnp.broadcast_to(active[:, None], ts.shape)
+        ts = jnp.where(mask, ts, INF)
         tc = jnp.min(ts, axis=1)
         # winner id without a per-step gather: lowest id among the t-minima —
         # identical to argmin-first (cell lists are ascending-id by build)
@@ -381,7 +424,7 @@ class GridTracer:
     """
 
     def __init__(self, scene, grid: GridData, fixed_steps: bool | None = None,
-                 skip_steps: int | None = None):
+                 skip_steps: int | None = None, fanout: int | None = None):
         import os
 
         from raytracer_tpu.core.types import as_jax
@@ -396,6 +439,9 @@ class GridTracer:
         if skip_steps is None:
             skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
         self._skip = skip_steps
+        if fanout is None:
+            fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
+        self._fanout = max(1, fanout)
         v0, e1, e2 = self._scene.meshes.tri_soa()
         self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
                                            jnp.asarray(e1, jnp.float32),
@@ -404,7 +450,8 @@ class GridTracer:
     @staticmethod
     def build(scene, capacity: int | None = None, res=None,
               density: float | None = None, fixed_steps: bool | None = None,
-              pregather: bool | None = None, exact: bool | None = None):
+              pregather: bool | None = None, exact: bool | None = None,
+              fanout: int | None = None):
         import os
 
         # env overrides so perf sweeps (benchmarks/) can tune the build
@@ -429,7 +476,7 @@ class GridTracer:
                           np.asarray(scene.meshes.tris), res=res,
                           capacity=capacity, density=density,
                           pregather=pregather, exact=exact)
-        return GridTracer(scene, grid, fixed_steps=fixed_steps)
+        return GridTracer(scene, grid, fixed_steps=fixed_steps, fanout=fanout)
 
     def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         from raytracer_tpu.core.types import KIND_TRIANGLE
@@ -444,7 +491,7 @@ class GridTracer:
         v0, e1, e2 = self._soa
         tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                            fixed_steps=self._fixed, skip_steps=self._skip,
-                           active=active)
+                           active=active, fanout=self._fanout)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
@@ -462,7 +509,8 @@ class GridTracer:
         v0, e1, e2 = self._soa
         tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                           occlusion_max_t=max_t, fixed_steps=self._fixed,
-                          skip_steps=self._skip, active=active)
+                          skip_steps=self._skip, active=active,
+                          fanout=self._fanout)
         return occ | (tb < max_t)
 
 
@@ -472,7 +520,8 @@ _EMPTY_MESHES = _Meshes.empty()
 
 jax.tree_util.register_pytree_node(
     GridTracer,
-    lambda tr: ((tr._scene, tr._grid, tr._soa), (tr._fixed, tr._skip)),
+    lambda tr: ((tr._scene, tr._grid, tr._soa),
+                (tr._fixed, tr._skip, tr._fanout)),
     lambda aux, ch: _grid_tracer_unflatten(aux, ch))
 
 
@@ -482,5 +531,5 @@ def _grid_tracer_unflatten(aux, children):
     obj._scene = scene
     obj._grid = grid
     obj._soa = soa
-    obj._fixed, obj._skip = aux
+    obj._fixed, obj._skip, obj._fanout = aux
     return obj

@@ -220,6 +220,59 @@ def test_grid_fused_id_column_bitwise_identical(mesh_scene):
         np.testing.assert_array_equal(a, b)
 
 
+def test_grid_fanout_matches_sequential(mesh_scene):
+    """fanout=K batches K consecutive cells into one gather. Results must
+    match the sequential walk exactly away from exact-t cross-cell ties
+    (the bumpy-sphere scene has none from this camera), nearest + any-hit."""
+    scene, cam, opts = mesh_scene
+    from raytracer_tpu.ops import geometry as geom
+
+    tr = GridTracer.build(scene)
+    v0, e1, e2 = tr._soa
+    dirs = geom.raygen(cam.pos, cam.c2w, cam.fov_deg, opts.width, opts.height)
+    orig = jnp.broadcast_to(jnp.asarray(cam.pos), dirs.shape)
+    t0, i0 = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min, fanout=1)
+    mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
+    o0, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                      occlusion_max_t=mx, fanout=1)
+    for k in (2, 3, 4):
+        t1, i1 = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                           fanout=k)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        o1, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
+                          occlusion_max_t=mx, fanout=k)
+        np.testing.assert_array_equal(np.asarray(o0) < 6.0,
+                                      np.asarray(o1) < 6.0)
+
+
+def test_grid_fanout_render_and_masking(mesh_scene):
+    """End-to-end render through a fanout tracer equals the default tracer;
+    active-mask contract (parked lanes → miss/INF) holds under fanout."""
+    scene, cam, opts = mesh_scene
+    ref = np.asarray(render(scene, cam, opts, tracer=GridTracer.build(scene))[0])
+    tr = GridTracer.build(scene, fanout=3)
+    img = np.asarray(render(scene, cam, opts, tracer=tr)[0])
+    np.testing.assert_array_equal(img, ref)
+
+    rng = np.random.default_rng(11)
+    n = 128
+    orig = jnp.asarray(rng.normal(size=(n, 3)) * 2 +
+                       np.array([0, 0, -5.5]), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    active = jnp.asarray(rng.random(n) < 0.5)
+    tb, _ = grid_walk(tr._grid, *tr._soa, orig, d, 1e-4, active=active,
+                      fanout=3)
+    assert np.isinf(np.asarray(tb)[~np.asarray(active)]).all()
+    full = tr.nearest(orig, d, 1e-4, 512)
+    masked = tr.nearest(orig, d, 1e-4, 512, active=active)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(masked.t)[act],
+                                  np.asarray(full.t)[act])
+
+
 def test_grid_occlusion_matches_brute(mesh_scene):
     scene, cam, opts = mesh_scene
     from raytracer_tpu.ops import trace as trace_ops
