@@ -1,4 +1,4 @@
-"""Driver benchmark entry: prints ONE JSON line with the headline metric.
+"""Driver benchmark entry: prints the headline metric as a JSON line.
 
 Primary metric (BASELINE.json:2): rays/sec/chip fwd+bwd at 1080p 4-bounce on
 the local TPU chip (config4: ~20k-tri mesh + mirror sphere + checker plane,
@@ -6,10 +6,24 @@ grid-accelerated). vs_baseline = rate / 1.25e8 (per-chip share of the >1e9
 rays/s north star on a v5p-16 = 8-chip slice; the reference publishes no
 numbers — BASELINE.json:13).
 
+INCREMENTAL EMISSION (round-2 fix for BENCH_r01.json rc=124/parsed=null):
+the driver tail-parses the LAST complete JSON line of stdout whenever it
+stops this process, so we climb a ladder of rungs from most-reliable to
+most-headline and, after every successful phase, re-emit the best line seen
+so far (flushed). A driver timeout at ANY point after the first few minutes
+still captures an official number.
+
+Rung ladder (ascending headline-ness; kind beats config):
+  fwd  config2 1080p d2  →  fwd config3 1024² d4  →  fwd config4 1080p d4
+  fwd+bwd config2        →  fwd+bwd config3       →  fwd+bwd config4
+Execution order is cheap-and-reliable first (config2 fused, mesh-free — runs
+even on degraded-worker days), then config3 (fused fwd, no grid program),
+then the grid-mesh config4 ladder with its preflight + band-budget retries.
+
 Fault-tolerant sequencing for this TPU stack (a kernel fault crashes the
 shared TPU worker and poisons the tunnel for minutes — see CLAUDE.md):
-each phase (fwd timing, bwd timing, ray count) runs in its own subprocess,
-preceded by a health probe that waits for worker recovery.
+each phase runs in its own subprocess, preceded by a health probe that
+waits for worker recovery.
 """
 
 import json
@@ -22,10 +36,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 NORTH_STAR_PER_CHIP = 1e9 / 8.0
+START = time.time()
+# Wind-down deadline: stop starting expensive mesh rungs past this point so
+# the reliable rungs' lines are never at risk from a dangling 50-min phase.
+DEADLINE = START + float(os.environ.get("RT_BENCH_DEADLINE_S", "4200"))
 
 
 def _phase(phase: str, config: str | None = None, extra=(),
-           timeout: int = 3000, env: dict | None = None) -> dict | None:
+           timeout: int = 1800, env: dict | None = None) -> dict | None:
     cmd = [sys.executable, "-m", "benchmarks.rays_per_sec", "--phase", phase]
     if config:
         cmd += ["--config", config]
@@ -63,137 +81,147 @@ def _wait_healthy(max_wait: int = 2000) -> bool:
 
 
 def _guarded(phase: str, config: str | None = None, extra=(),
-             attempts: int = 2, env: dict | None = None) -> dict | None:
+             attempts: int = 2, env: dict | None = None,
+             timeout: int = 1800) -> dict | None:
     for _ in range(attempts):
         if not _wait_healthy():
             return None
-        res = _phase(phase, config, extra, env=env)
+        res = _phase(phase, config, extra, env=env, timeout=timeout)
         if res is not None:
             return res
     return None
 
 
-def main():
-    # Fallback chain: the grid-accelerated config4 is the headline workload,
-    # but this TPU stack's worker can enter a degraded state where complex
-    # kernels fault (CLAUDE.md). Rungs: config4 grid at shrinking band
-    # budgets (smaller per-program work), config4 with the BVH tracer, then
-    # config2 driven at 1080p so the metric stays meaningful if the whole
-    # mesh path faults.
-    primary = os.environ.get("RT_BENCH_CONFIG", "config4")
-    chain = [(primary, (), {})]
-    if primary != "config2":
-        # Preflight ladder: on degraded-worker days grid/BVH programs fault —
-        # sometimes at ANY size, sometimes only above a (day-dependent)
-        # band-size boundary. A full rung that faults mid-timing hangs until
-        # its 50-min phase timeout, so probe the boundary with single
-        # band-sized renders (short timeouts) and keep only rungs whose
-        # per-program bands the device tolerates TODAY. Only a render that
-        # FAILED on a healthy device indicts the mesh path; if the probe
-        # never came up (transient tunnel poisoning) keep the rungs — the
-        # device may well recover before they run.
-        if _wait_healthy():
-            if _phase("fwd", primary,
-                      ("--width", "480", "--height", "270", "--depth", "2"),
-                      timeout=900) is None:
-                sys.stderr.write("# mesh-path preflight failed; "
-                                 "skipping mesh rungs\n")
-                chain = []
-            elif _wait_healthy() and _phase(
-                    "fwd", primary,
-                    ("--width", "1920", "--height", "270", "--depth", "4"),
-                    timeout=900) is None:
-                # plain-rung band scale (~2.6M units) faults today; probe the
-                # smallest rung's band (~0.8M units)
-                sys.stderr.write("# band-scale preflight (2.6M units) "
-                                 "failed\n")
-                if _wait_healthy() and _phase(
-                        "fwd", primary,
-                        ("--width", "1920", "--height", "83", "--depth", "4"),
-                        timeout=900) is not None:
-                    chain = [(primary, (), {"RT_BWD_UNIT_BUDGET": "800000"})]
-                else:
-                    sys.stderr.write("# small-band preflight failed too; "
-                                     "skipping mesh rungs\n")
-                    chain = []
-        if chain and chain[0][2] == {}:
-            for budget in ("1600000", "800000"):
-                chain.append((primary, (), {"RT_BWD_UNIT_BUDGET": budget}))
-            chain.append((primary, (), {"RT_BENCH_TRACER": "bvh",
-                                        "RT_BWD_UNIT_BUDGET": "1600000"}))
-        # config3 (glass Cornell, 1024² d4): fwd = fused megakernel (no
-        # grid program at all — its 10 triangles are baked), bwd = wavefront
-        # with the scan tracer, so this rung dodges the grid-path fault
-        # entirely while still measuring a 4-bounce refractive workload.
-        chain.append(("config3", (),
-                      {"RT_BENCH_FUSED": "1", "RT_BENCH_TRACER": "none"}))
-        c2 = ("--width", "1920", "--height", "1080", "--depth", "2")
-        chain.append(("config2", c2, {"RT_BENCH_FUSED": "1"}))
-        chain.append(("config2", c2, {}))
-    # Overall wall-clock budget: a blocked phase costs its full timeout
-    # (~50 min) before failing, so a bad day could burn hours on dead mesh
-    # rungs. Past the deadline, skip ahead to the reliable mesh-free rungs
-    # so the driver always gets a metric.
-    deadline = time.time() + float(os.environ.get("RT_BENCH_DEADLINE_S",
-                                                  "5400"))
-    t = used = extra = env = None
-    for cfg, ex, ev in chain:
-        if time.time() > deadline and cfg != "config2":
-            sys.stderr.write(f"# deadline passed; skipping {cfg} {ev}\n")
-            continue
-        t = _guarded("fwd", cfg, ex, env=ev, attempts=1)
-        if t is not None:
-            used, extra, env = cfg, ex, ev
-            break
-        sys.stderr.write(f"# fwd on {cfg} {ev} failed; trying fallback\n")
+class Best:
+    """Tracks the best rung seen; re-emits its JSON line after every update
+    so the driver's tail-parse always gets the current best."""
+
+    def __init__(self):
+        self.rank = -1
+        self.line = None
+
+    def offer(self, rank: int, t: dict, n_rays: float):
+        kind = "fwd_bwd" if "fwd_bwd_s" in t else "fwd"
+        rate = n_rays / t.get("fwd_bwd_s", t["fwd_s"])
+        line = json.dumps({
+            "metric": f"rays_per_sec_per_chip_{kind}_"
+                      f"{t['width']}x{t['height']}_d{t['max_depth']}_"
+                      f"{t['config']}",
+            "value": rate,
+            "unit": "rays/s",
+            "vs_baseline": rate / NORTH_STAR_PER_CHIP,
+        })
+        if rank > self.rank:
+            self.rank, self.line = rank, line
+        # always (re-)emit the best so the LAST stdout line is the best rung
+        print(self.line, flush=True)
+        sys.stderr.write(f"# [t+{time.time() - START:.0f}s] rung rank={rank} "
+                         f"{t['config']} {kind}: {rate:.4g} rays/s"
+                         f"{' (superseded)' if rank < self.rank else ''}\n")
+        sys.stderr.flush()
+
+
+def _run_rung(best: Best, config: str, extra, env, fwd_rank: int,
+              bwd_rank: int, fwd_timeout: int = 1200,
+              bwd_timeout: int = 1800) -> bool:
+    """fwd (+count folded in) then bwd for one rung; emits after each."""
+    t = _guarded("fwd", config, tuple(extra) + ("--with-count",),
+                 attempts=1, env=env, timeout=fwd_timeout)
     if t is None:
-        print(json.dumps({"metric": "rays_per_sec_per_chip", "value": 0,
-                          "unit": "rays/s", "vs_baseline": 0,
-                          "error": "fwd phase failed"}))
-        return
-    late = 2 if time.time() < deadline else 1
-    b = _guarded("bwd", used, extra, env=env, attempts=late)
-    if not b:
-        # Degraded-day bwd ladder: on bad days the program-size fault
-        # boundary collapses (observed: config3 1024² d4 bwd ≈1.3M units
-        # faults mid-timing while config1-size bwd passes) — smaller band
-        # budgets mean smaller per-program work, which often survives.
+        sys.stderr.write(f"# fwd {config} {env} failed\n")
+        return False
+    n_rays = t.get("rays_per_frame") or float(t["width"] * t["height"])
+    best.offer(fwd_rank, t, n_rays)
+    if time.time() > DEADLINE:
+        sys.stderr.write("# deadline: skipping bwd for this rung\n")
+        return True
+    b = _guarded("bwd", config, extra, attempts=1, env=env,
+                 timeout=bwd_timeout)
+    if b is None and config == "config4":
+        # Degraded-day bwd ladder: smaller band budgets mean smaller
+        # per-program work, which often survives the collapsed fault boundary.
         cur = int((env or {}).get("RT_BWD_UNIT_BUDGET", 3_200_000))
-        for budget in (1_600_000, 800_000, 400_000):
-            if budget >= cur or time.time() > deadline:
-                continue
-            sys.stderr.write(f"# bwd failed; retrying with band budget "
-                             f"{budget}\n")
-            b = _guarded("bwd", used, extra,
+        for budget in (1_600_000, 800_000):
+            if budget >= cur or time.time() > DEADLINE:
+                break
+            sys.stderr.write(f"# bwd failed; retrying band budget {budget}\n")
+            b = _guarded("bwd", config, extra, attempts=1,
                          env={**(env or {}),
-                              "RT_BWD_UNIT_BUDGET": str(budget)}, attempts=1)
+                              "RT_BWD_UNIT_BUDGET": str(budget)},
+                         timeout=bwd_timeout)
             if b:
                 break
     if b:
         t.update(b)
-    c = _guarded("count", used, extra, env=env, attempts=late)
-    n_rays = c["rays_per_frame"] if c else float(t["width"] * t["height"])
+        best.offer(bwd_rank, t, n_rays)
+    return True
 
-    kind = "fwd_bwd" if "fwd_bwd_s" in t else "fwd"
-    rate = n_rays / t.get("fwd_bwd_s", t["fwd_s"])
-    print(json.dumps({
-        "metric": f"rays_per_sec_per_chip_{kind}_"
-                  f"{t['width']}x{t['height']}_d{t['max_depth']}_{t['config']}",
-        "value": rate,
-        "unit": "rays/s",
-        "vs_baseline": rate / NORTH_STAR_PER_CHIP,
-    }))
-    print(f"# fwd: {n_rays / t['fwd_s']:.4g} rays/s "
-          f"({t['fwd_s']*1e3:.2f} ms/frame); rays/frame {n_rays:.4g}"
-          + ("" if c else " (primary-ray fallback count)"), file=sys.stderr)
-    if "fwd_bwd_s" in t:
-        print(f"# fwd+bwd: {rate:.4g} rays/s ({t['fwd_bwd_s']*1e3:.2f} "
-              f"ms/step, {t.get('bwd_bands', 1)} grad bands)",
-              file=sys.stderr)
+
+def main():
+    best = Best()
+    # RT_BENCH_SMOKE=1: tiny sizes for a CPU logic test of the full ladder
+    smoke = os.environ.get("RT_BENCH_SMOKE") == "1"
+    # ---- Rung 1: config2 1080p d2, fused megakernel fwd + wavefront bwd.
+    # Mesh-free: no grid program, runs full-frame even on degraded days.
+    c2 = (("--width", "96", "--height", "64", "--depth", "2") if smoke else
+          ("--width", "1920", "--height", "1080", "--depth", "2"))
+    ok2 = _run_rung(best, "config2", c2, {"RT_BENCH_FUSED": "1"},
+                    fwd_rank=1, bwd_rank=4, fwd_timeout=1200)
+    if not ok2:
+        # fused failed (unexpected) — plain wavefront twin
+        _run_rung(best, "config2", c2, {}, fwd_rank=1, bwd_rank=4,
+                  fwd_timeout=1200)
+
+    # ---- Rung 2: config3 glass Cornell 1024² d4 — fused fwd (10 baked
+    # tris, no grid program), compacted-wavefront bwd. 4-bounce refractive.
+    if time.time() < DEADLINE:
+        c3 = ("--width", "64", "--height", "64") if smoke else ()
+        _run_rung(best, "config3", c3,
+                  {"RT_BENCH_FUSED": "1", "RT_BENCH_TRACER": "none"},
+                  fwd_rank=2, bwd_rank=5, fwd_timeout=1200)
+
+    # ---- Rung 3: config4 20k-tri mesh 1080p d4, grid tracer, band-split.
+    # Preflight the mesh path first: on degraded-worker days grid programs
+    # fault — sometimes at ANY size. A rung that faults mid-timing burns its
+    # timeout, so probe with one band-sized render first.
+    primary = os.environ.get("RT_BENCH_CONFIG", "config4")
+    if primary != "config2" and time.time() < DEADLINE:
+        pre1 = (("--width", "64", "--height", "36", "--depth", "2") if smoke
+                else ("--width", "480", "--height", "270", "--depth", "2"))
+        if _wait_healthy() and _phase("fwd", primary, pre1,
+                                      timeout=900) is not None:
+            env4 = {}
+            if not smoke and _wait_healthy() and _phase(
+                    "fwd", primary,
+                    ("--width", "1920", "--height", "270", "--depth", "4"),
+                    timeout=900) is None:
+                sys.stderr.write("# band-scale preflight (2.6M units) "
+                                 "failed; trying small bands\n")
+                if _wait_healthy() and _phase(
+                        "fwd", primary,
+                        ("--width", "1920", "--height", "83", "--depth", "4"),
+                        timeout=900) is not None:
+                    env4 = {"RT_BWD_UNIT_BUDGET": "800000"}
+                else:
+                    env4 = None
+            if env4 is not None and time.time() < DEADLINE:
+                c4 = (("--width", "96", "--height", "54", "--depth", "4")
+                      if smoke else ())
+                _run_rung(best, primary, c4, env4, fwd_rank=3, bwd_rank=6,
+                          fwd_timeout=2400, bwd_timeout=2400)
+        else:
+            sys.stderr.write("# mesh-path preflight failed; "
+                             "mesh rungs skipped\n")
+
+    if best.line is None:
+        print(json.dumps({"metric": "rays_per_sec_per_chip", "value": 0,
+                          "unit": "rays/s", "vs_baseline": 0,
+                          "error": "all rungs failed"}), flush=True)
     else:
-        print("# fwd+bwd unavailable (device fault); value above is fwd",
-              file=sys.stderr)
-    print(f"# device: {t['device']}", file=sys.stderr)
+        # final re-emission so the tail line is unambiguous
+        print(best.line, flush=True)
+        sys.stderr.write(f"# done in {time.time() - START:.0f}s; "
+                         f"best rank={best.rank}\n")
 
 
 if __name__ == "__main__":

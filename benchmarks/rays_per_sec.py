@@ -143,7 +143,21 @@ def _chained_time(call, repeats=2, k=6):
     return o, per
 
 
-def phase_fwd(config, repeats=2, **kw):
+def phase_fwd(config, repeats=2, with_count=False, **kw):
+    """Forward timing; with_count=True folds the ray count in post-timing
+    (the D2H readbacks happen after all timing, and the subprocess exits
+    right after, so the permanent dispatch degradation is irrelevant)."""
+    res = _phase_fwd_timed(config, repeats=repeats, **kw)
+    if with_count:
+        try:
+            res.update(phase_count(config, **kw))
+        except Exception as e:  # count is a bonus — never lose the timing
+            print(f"# count failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    return res
+
+
+def _phase_fwd_timed(config, repeats=2, **kw):
     use_fused = os.environ.get("RT_BENCH_FUSED") == "1"
     # fused path sweeps baked triangles itself — skip the grid/BVH build
     scene, cam, opts, tracer = _setup(
@@ -344,6 +358,8 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--depth", type=int, default=-1)
+    ap.add_argument("--with-count", action="store_true",
+                    help="fold the ray count into the fwd phase result")
     args = ap.parse_args(argv)
     kw = {}
     if args.width:
@@ -357,7 +373,8 @@ def main(argv=None):
         print("PHASE_RESULT " + json.dumps({"ok": True}))
     elif args.phase == "fwd":
         print("PHASE_RESULT " + json.dumps(
-            phase_fwd(args.config, repeats=args.repeats, **kw)))
+            phase_fwd(args.config, repeats=args.repeats,
+                      with_count=args.with_count, **kw)))
     elif args.phase == "bwd":
         print("PHASE_RESULT " + json.dumps(
             phase_bwd(args.config, repeats=args.repeats, **kw)))
