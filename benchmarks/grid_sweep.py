@@ -11,6 +11,10 @@ Usage:  python -m benchmarks.grid_sweep            # full sweep on TPU
         RT_SWEEP_COMBOS='16,4,0;12,8,1' python -m benchmarks.grid_sweep
         RT_SWEEP_ENVS='RT_BENCH_TRACER=bvh,RT_BVH_LEAF=16;RT_GRID_SKIP=4' \
             python -m benchmarks.grid_sweep        # arbitrary env combos
+        RT_SWEEP_ENVS='RT_GRID_FANOUT=1;RT_GRID_FANOUT=2;RT_GRID_FANOUT=4' \
+            python -m benchmarks.grid_sweep        # fanout fault/perf probe
+            # (fanout>1 enlarges the traced loop body — a known kernel-fault
+            # axis on this stack; run this before recommending fanout>1)
 Output: one line per combo + a sorted summary table on stderr; JSON lines on
 stdout for machine reading.
 """

@@ -408,7 +408,10 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
     state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)
     if fixed_steps:
-        state = jax.lax.fori_loop(0, max_steps,
+        # max_iters (not max_steps): each body advances `fanout` cells, so
+        # the static trip count must match the while_loop's iteration budget
+        # or the fallback does ~K× the necessary gather work under fanout
+        state = jax.lax.fori_loop(0, max_iters,
                                   lambda _, s: body(s), state)
     else:
         state = jax.lax.while_loop(cond, body, state)

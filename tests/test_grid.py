@@ -238,8 +238,15 @@ def test_grid_fanout_matches_sequential(mesh_scene):
     for k in (2, 3, 4):
         t1, i1 = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
                            fanout=k)
+        # Tie-tolerant: hit distances must be bitwise equal everywhere (the
+        # fanout overrun only ever folds extra real candidates at t>=best_t);
+        # winner IDS may flip only on exact-t cross-cell ties, a knife-edge
+        # set bounded like the RT_GRID_EXACT golden tolerance. The current
+        # fixture has zero such ties — if an innocent fixture change
+        # introduces a few, this stays green instead of going flaky.
         np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
-        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        flips = np.mean(np.asarray(i0) != np.asarray(i1))
+        assert flips <= 1e-3, f"fanout={k}: {flips:.2%} id flips (not ties?)"
         o1, _ = grid_walk(tr._grid, v0, e1, e2, orig, dirs, opts.t_min,
                           occlusion_max_t=mx, fanout=k)
         np.testing.assert_array_equal(np.asarray(o0) < 6.0,
