@@ -428,7 +428,9 @@ def bvh_walk(bvh: BVHData, v0, e1, e2, orig, direc, t_min,
         return it + 1, node, best_t, best_i
 
     state = (jnp.zeros((), jnp.int32), node, best_t, best_i)
-    _, _, best_t, best_i = jax.lax.while_loop(cond, body, state)
+    scope = "bvh_walk_occl" if occlusion_max_t is not None else "bvh_walk"
+    with jax.named_scope(scope):
+        _, _, best_t, best_i = jax.lax.while_loop(cond, body, state)
     return best_t, best_i
 
 

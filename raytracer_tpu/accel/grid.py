@@ -406,6 +406,15 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
         active = advance & still_in
         return it + 1, cell, tmax, best_t, best_i, active
 
+    scope = ("grid_walk_occl" if occlusion_max_t is not None
+             else "grid_walk")
+    with jax.named_scope(scope):
+        return _run_walk(cond, body, cell, tmax, best_t, best_i, active,
+                         fixed_steps, max_iters)
+
+
+def _run_walk(cond, body, cell, tmax, best_t, best_i, active, fixed_steps,
+              max_iters):
     state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)
     if fixed_steps:
         # max_iters (not max_steps): each body advances `fanout` cells, so

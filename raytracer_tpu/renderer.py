@@ -83,11 +83,16 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
     # RT_NO_ACTIVE_MASK=1 disables the mask for A/B sweeps (trace-time env
     # read: takes effect per subprocess, not after a same-shape jit cache hit).
     msk = None if os.environ.get("RT_NO_ACTIVE_MASK") == "1" else alive
-    if tracer is None:
-        hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk, active=msk)
-    else:
-        hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk, active=msk)
-    surf = surface_at(scene, o, d, hit, opts.t_min)
+    # named_scope marks label the XProf/Perfetto trace per stage (SURVEY §5
+    # tracing row: per-kernel cost attribution); zero runtime cost after trace
+    with jax.named_scope("trace_nearest"):
+        if tracer is None:
+            hit = nearest_hit(scene, o, d, opts.t_min, opts.tri_chunk,
+                              active=msk)
+        else:
+            hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk, active=msk)
+    with jax.named_scope("surface_at"):
+        surf = surface_at(scene, o, d, hit, opts.t_min)
     valid = surf.valid & alive
     traced_inc = jnp.zeros((), jnp.float32)
     if count_rays:
@@ -99,9 +104,10 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
 
     # Leaves: diffuse hit → local Phong (branchless; masked after)
     is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
-    local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
-                             opts.tri_chunk, tracer=tracer,
-                             active=None if msk is None else is_diff)
+    with jax.named_scope("shade_diffuse"):
+        local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
+                                 opts.tri_chunk, tracer=tracer,
+                                 active=None if msk is None else is_diff)
     terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0,
                        pix))
     if count_rays:
@@ -122,6 +128,14 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
         terms.append(_fold(thr * w[:, None] * bg, n0, pix))
         return terms, None, traced_inc
 
+    with jax.named_scope("spawn_children"):
+        return _spawn(scene, state, surf, spec, is_glass, kr, pix, terms,
+                      traced_inc, opts)
+
+
+def _spawn(scene, state, surf, spec, is_glass, kr, pix, terms, traced_inc,
+           opts):
+    o, d, thr, alive = state
     rdir = normalize(geom.reflect(d, surf.n))
     rorig = geom.spawn_origin(surf.p, surf.n, rdir, opts.bias)
     thr_r = jnp.where(spec[:, None], thr * kr[:, None], 0.0)
@@ -170,9 +184,10 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     dropped = jnp.zeros((), jnp.float32)
 
     for depth in range(opts.max_depth + 1):
-        terms, state, inc = bounce_step(
-            scene, state, opts, n0, is_last=depth == opts.max_depth,
-            count_rays=count_rays, tracer=tracer, pix=pix)
+        with jax.named_scope(f"bounce{depth}"):
+            terms, state, inc = bounce_step(
+                scene, state, opts, n0, is_last=depth == opts.max_depth,
+                count_rays=count_rays, tracer=tracer, pix=pix)
         for t in terms:
             radiance = radiance + t
         traced = traced + inc
@@ -180,7 +195,8 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
             *state, pix = state
             cap = opts.compact_cap * n0
             if state[0].shape[0] > cap:
-                state, pix, drop = _compact(tuple(state), pix, cap)
+                with jax.named_scope("compact_wavefront"):
+                    state, pix, drop = _compact(tuple(state), pix, cap)
             else:
                 drop = 0.0
             dropped = dropped + drop
@@ -207,8 +223,9 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
     h, w = opts.height, opts.width
     rows = h if rows is None else rows
     n_pix = rows * w
-    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
-                       row0=row0, rows=rows)
+    with jax.named_scope("raygen"):
+        dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
+                           row0=row0, rows=rows)
     tile = min(opts.tile_rays, _ceil_to(n_pix, 8))
     n_pad = _ceil_to(n_pix, tile)
     if n_pad != n_pix:
