@@ -186,12 +186,19 @@ def main():
     # timeout, so probe with one band-sized render first.
     primary = os.environ.get("RT_BENCH_CONFIG", "config4")
     if primary != "config2" and time.time() < DEADLINE:
+        # Only a render that FAILED on a healthy device indicts the mesh
+        # path; if the probe never came up (transient tunnel poisoning),
+        # keep the rung — the device may well recover before it runs.
         pre1 = (("--width", "64", "--height", "36", "--depth", "2") if smoke
                 else ("--width", "480", "--height", "270", "--depth", "2"))
-        if _wait_healthy() and _phase("fwd", primary, pre1,
-                                      timeout=900) is not None:
-            env4 = {}
-            if not smoke and _wait_healthy() and _phase(
+        env4 = {}
+        healthy = _wait_healthy()
+        if healthy and _phase("fwd", primary, pre1, timeout=900) is None:
+            sys.stderr.write("# mesh-path preflight failed; "
+                             "mesh rungs skipped\n")
+            env4 = None
+        elif healthy and not smoke:
+            if _wait_healthy() and _phase(
                     "fwd", primary,
                     ("--width", "1920", "--height", "270", "--depth", "4"),
                     timeout=900) is None:
@@ -204,14 +211,11 @@ def main():
                     env4 = {"RT_BWD_UNIT_BUDGET": "800000"}
                 else:
                     env4 = None
-            if env4 is not None and time.time() < DEADLINE:
-                c4 = (("--width", "96", "--height", "54", "--depth", "4")
-                      if smoke else ())
-                _run_rung(best, primary, c4, env4, fwd_rank=3, bwd_rank=6,
-                          fwd_timeout=2400, bwd_timeout=2400)
-        else:
-            sys.stderr.write("# mesh-path preflight failed; "
-                             "mesh rungs skipped\n")
+        if env4 is not None and time.time() < DEADLINE:
+            c4 = (("--width", "96", "--height", "54", "--depth", "4")
+                  if smoke else ())
+            _run_rung(best, primary, c4, env4, fwd_rank=3, bwd_rank=6,
+                      fwd_timeout=2400, bwd_timeout=2400)
 
     if best.line is None:
         print(json.dumps({"metric": "rays_per_sec_per_chip", "value": 0,

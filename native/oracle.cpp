@@ -72,6 +72,10 @@ struct Scene {
   std::vector<V3> verts, vnorms;
   std::vector<int> tris;      // 3 per face
   std::vector<int> tri_mat;   // per face
+  std::vector<double> uvs;    // 2 per vertex (vertex-aligned), empty = none
+  int mesh_checker = 0;       // st-checker albedo on the mesh (SPEC mesh_uv)
+  double mesh_cscale = 1.0;
+  V3 mesh_albedo2;
   std::vector<Light> lights;
   bool smooth = false;
   // options
@@ -231,6 +235,19 @@ V3 castRay(const Scene& sc, const V3& o, const V3& d, int depth) {
     }
     mat = sc.tri_mat[h.idx];
     albedo = sc.mats[mat].albedo;
+    if (!sc.uvs.empty() && sc.mesh_checker) {
+      // barycentric st from vertex-aligned uvs (SPEC "mesh_uv"); the checker
+      // formula matches the plane checker on (s, t)
+      int a = sc.tris[3 * h.idx], b = sc.tris[3 * h.idx + 1],
+          c = sc.tris[3 * h.idx + 2];
+      double s = (1 - h.u - h.v) * sc.uvs[2 * a] + h.u * sc.uvs[2 * b] +
+                 h.v * sc.uvs[2 * c];
+      double t = (1 - h.u - h.v) * sc.uvs[2 * a + 1] +
+                 h.u * sc.uvs[2 * b + 1] + h.v * sc.uvs[2 * c + 1];
+      double fu = s * sc.mesh_cscale - std::floor(s * sc.mesh_cscale);
+      double fv = t * sc.mesh_cscale - std::floor(t * sc.mesh_cscale);
+      if ((fu > 0.5) != (fv > 0.5)) albedo = sc.mesh_albedo2;
+    }
   }
   const Material& m = sc.mats[mat];
   switch (m.mtype) {
@@ -322,6 +339,12 @@ bool loadScene(const char* path, Scene* sc) {
       for (int k = 0; k < nt; ++k)
         f >> sc->tris[3 * k] >> sc->tris[3 * k + 1] >> sc->tris[3 * k + 2] >>
             sc->tri_mat[k];
+    } else if (tok == "mesh_uv") {
+      int nu;
+      f >> nu >> sc->mesh_checker >> sc->mesh_cscale >> sc->mesh_albedo2.x >>
+          sc->mesh_albedo2.y >> sc->mesh_albedo2.z;
+      sc->uvs.resize(2 * nu);
+      for (int k = 0; k < nu; ++k) f >> sc->uvs[2 * k] >> sc->uvs[2 * k + 1];
     } else if (tok == "lights") {
       int n;
       f >> n;

@@ -315,7 +315,7 @@ def main(argv=None):
 
     pr = sub.add_parser("render")
     pr.add_argument("--config", default="config2",
-                    choices=["config1", "config2", "config3", "config4"])
+                    choices=["config1", "config2", "config3", "config4", "config7"])
     pr.add_argument("--scene", default="",
                     help="render a scene text file instead of a preset "
                          "(format: docs/SPEC.md / io/scenefile.py)")
@@ -373,7 +373,7 @@ def main(argv=None):
 
     pe = sub.add_parser("export")
     pe.add_argument("--config", default="config2",
-                    choices=["config1", "config2", "config3", "config4"])
+                    choices=["config1", "config2", "config3", "config4", "config7"])
     pe.add_argument("--out", default="scene.txt")
     pe.set_defaults(fn=cmd_export)
 

@@ -122,13 +122,33 @@ class Meshes:
     tris: jax.Array      # [T, 3] i32 — static topology
     normals: jax.Array   # [V, 3] f32 vertex normals, or [0,3] for flat shading
     mat_id: jax.Array    # [T]    i32
+    uvs: jax.Array       # [V, 2] f32 per-vertex texture coords, or [0,2]
+    #                      (vertex-aligned; the OBJ loader splits vertices so
+    #                       per-corner `vt` indices become vertex-aligned)
+    checker: jax.Array   # [T]    i32 0/1 — st-checker albedo on this triangle
+    checker_scale: jax.Array  # [T] f32 — checker frequency in st units
+    albedo2: jax.Array   # [T, 3] f32 — second checker color
 
     @staticmethod
-    def build(verts, tris, mat_id, normals=None) -> "Meshes":
+    def build(verts, tris, mat_id, normals=None, uvs=None, checker=None,
+              checker_scale=None, albedo2=None) -> "Meshes":
+        tris = _i32(tris).reshape(-1, 3)
+        t = tris.shape[0]
         if normals is None:
             normals = np.zeros((0, 3), np.float32)
-        return Meshes(_f32(verts).reshape(-1, 3), _i32(tris).reshape(-1, 3),
-                      _f32(normals).reshape(-1, 3), _i32(mat_id).reshape(-1))
+        if uvs is None:
+            uvs = np.zeros((0, 2), np.float32)
+        if checker is None:
+            checker = np.zeros((t,), np.int32)
+        if checker_scale is None:
+            checker_scale = np.ones((t,), np.float32)
+        if albedo2 is None:
+            albedo2 = np.zeros((t, 3), np.float32)
+        return Meshes(_f32(verts).reshape(-1, 3), tris,
+                      _f32(normals).reshape(-1, 3), _i32(mat_id).reshape(-1),
+                      _f32(uvs).reshape(-1, 2), _i32(checker).reshape(-1),
+                      _f32(checker_scale).reshape(-1),
+                      _f32(albedo2).reshape(-1, 3))
 
     @staticmethod
     def empty() -> "Meshes":
@@ -141,6 +161,10 @@ class Meshes:
     @property
     def smooth(self) -> bool:
         return self.normals.shape[0] > 0
+
+    @property
+    def has_uv(self) -> bool:
+        return self.uvs.shape[0] > 0
 
     def tri_soa(self):
         """Gather (v0, e1, e2) [T,3] each — the MT-ready layout."""

@@ -12,6 +12,9 @@ Format (whitespace-separated; `#` starts a comment; sections in any order):
   spheres N     then per-row: cx cy cz r mat
   planes N      then per-row: p(3) n(3) tg(3) bt(3) mat checker scale albedo2(3)
   mesh V T smooth  then V vert rows, [V normal rows], T rows: i j k mat
+  mesh_uv NU checker scale a2(3)   then NU rows: u v
+                (vertex-aligned uv block + st-checker spec for the PRECEDING
+                 mesh section; NU must equal its V)
   mesh_obj path mat smooth [scale tx ty tz]
                 (loader extension: mesh from an OBJ file, path relative to the
                  scene file; smooth=1 builds area-weighted vertex normals if
@@ -81,6 +84,15 @@ def save_scene(path: str, scene: Scene, camera: Camera,
         for i in range(nt):
             _row(f, int(tris[i, 0]), int(tris[i, 1]), int(tris[i, 2]),
                  int(tmat[i]))
+        if mesh.has_uv and nt:
+            # per-mesh uv block (vertex-aligned); checker params written from
+            # triangle 0 (build broadcasts one spec over the soup)
+            chk = np.asarray(mesh.checker)
+            _row(f, "mesh_uv", nv, int(chk[0]),
+                 float(g(mesh.checker_scale)[0]),
+                 *map(float, g(mesh.albedo2)[0]))
+            for u in g(mesh.uvs):
+                _row(f, *map(float, u))
 
         li = scene.lights
         f.write(f"lights {li.count}\n")
@@ -181,6 +193,26 @@ def load_scene(path: str):
             mat = np.array([r[3] for r in rows], np.int32)
             meshes = (Meshes.build(verts, tris, mat, normals=normals)
                       if nt else Meshes.empty())
+        elif section == "mesh_uv":
+            # applies to the preceding mesh: NU (== its V) vertex-aligned uv
+            # rows + one checker spec broadcast over its triangles
+            if meshes is None or not meshes.count:
+                raise ValueError(f"{path}: mesh_uv before any mesh section")
+            nu, chk = tk.i(), tk.i()
+            scale = tk.f()
+            a2 = tk.floats(3)
+            if nu != meshes.verts.shape[0]:
+                raise ValueError(f"{path}: mesh_uv count {nu} != mesh verts "
+                                 f"{meshes.verts.shape[0]}")
+            uvr = np.array([tk.floats(2) for _ in range(nu)],
+                           np.float32).reshape(-1, 2)
+            t = meshes.count
+            meshes = Meshes.build(
+                meshes.verts, meshes.tris, meshes.mat_id,
+                normals=meshes.normals if meshes.smooth else None, uvs=uvr,
+                checker=np.full((t,), chk, np.int32),
+                checker_scale=np.full((t,), scale, np.float32),
+                albedo2=np.tile(np.asarray(a2, np.float32), (t, 1)))
         elif section == "mesh_obj":
             obj_path, mat_id, smooth = tk.word(), tk.i(), tk.i()
             xform = None
@@ -201,8 +233,8 @@ def load_scene(path: str):
             from raytracer_tpu.io.obj import load_obj
 
             # smooth=1: keep the OBJ's own normals, else build area-weighted
-            verts, tris, normals = load_obj(obj_path,
-                                            smooth=None if smooth else False)
+            verts, tris, normals, uvs = load_obj(
+                obj_path, smooth=None if smooth else False)
             if smooth and normals is None:
                 from raytracer_tpu.io.meshgen import vertex_normals
 
@@ -212,7 +244,7 @@ def load_scene(path: str):
                 verts = verts * np.float32(s) + t
             meshes = Meshes.build(
                 verts, tris, np.full((tris.shape[0],), mat_id, np.int32),
-                normals=normals)
+                normals=normals, uvs=uvs)
         elif section == "lights":
             n = tk.i()
             rows = [(tk.floats(3), tk.floats(3)) for _ in range(n)]

@@ -132,7 +132,7 @@ def config4_mesh(use_obj: bool = True):
 
     path = os.path.join(_ASSETS, "blob.obj")
     if use_obj and os.path.exists(path):
-        verts, tris, normals = load_obj(path)
+        verts, tris, normals, _ = load_obj(path)
     else:
         verts, tris = meshgen.bumpy_sphere(subdiv=5, radius=1.3)
         normals = meshgen.vertex_normals(verts, tris)
@@ -230,6 +230,42 @@ def config6_inverse_mesh():
     return init, target, cam, opts
 
 
+def config7_uv_quad():
+    """UV-checkered mesh demo (SURVEY §1 L1 `getSurfaceProperties` → UV;
+    §2.2 Mesh row "barycentrics kept for normals/UV"): a tilted two-triangle
+    quad with vertex st coords and an st-checker albedo, plus a mirror sphere
+    that reflects the pattern and a point light — the genre's textured-mesh
+    demo in config-3 style. Golden-tested against both oracles."""
+    mats = _mats([
+        (DIFFUSE_AND_GLOSSY, (0.85, 0.3, 0.1), 0.8, 0.15, 25.0, 1.3),  # quad
+        (REFLECTION,         (0.0, 0.0, 0.0),  0.0, 0.0, 25.0, 12.0),  # mirror
+        (DIFFUSE_AND_GLOSSY, (0.45, 0.45, 0.5), 0.8, 0.05, 10.0, 1.3),  # floor
+    ])
+    # quad in the z=-6 plane tilted back 30°, spanning ~[-2,2]²
+    c, s = np.cos(np.pi / 6), np.sin(np.pi / 6)
+    corners = np.array([(-2.0, -1.4, 0.0), (2.0, -1.4, 0.0),
+                        (2.0, 2.6, 0.0), (-2.0, 2.6, 0.0)], np.float32)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    verts = corners @ rot.T + np.array([0.0, 0.0, -6.0], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)],
+                   np.float32)
+    scene = make_scene(
+        spheres=Spheres.build([(1.6, -0.7, -4.2)], [0.8], [1]),
+        planes=Planes.build([(0.0, -1.5, 0.0)], [(0.0, 1.0, 0.0)],
+                            [(1.0, 0.0, 0.0)], [(0.0, 0.0, 1.0)], [2]),
+        meshes=Meshes.build(verts, tris, [0, 0], uvs=uvs, checker=[1, 1],
+                            checker_scale=[4.0, 4.0],
+                            albedo2=[CHECKER_C2, CHECKER_C2]),
+        materials=mats,
+        lights=Lights.build([(-3.0, 5.0, 1.0), (3.0, 4.0, -1.0)],
+                            [(0.8, 0.8, 0.8), (0.4, 0.4, 0.4)]),
+    )
+    cam = Camera.build(pos=(0.0, 0.3, 1.0), fov_deg=55.0)
+    opts = RenderOptions(width=512, height=512, max_depth=2)
+    return scene, cam, opts
+
+
 PRESETS = {
     "config1": config1_sphere_plane,
     "config2": config2_mirror_spheres,
@@ -237,6 +273,7 @@ PRESETS = {
     "config4": config4_mesh,
     "config5": config5_inverse,
     "config6": config6_inverse_mesh,   # (init, target, cam, opts), like 5
+    "config7": config7_uv_quad,
 }
 
 

@@ -52,9 +52,11 @@ MAX_GLASS_DEPTH = 5
 
 
 def supported(scene: Scene) -> bool:
-    """Fused path: all materials; meshes only if tiny + flat-shaded."""
+    """Fused path: all materials; meshes only if tiny + flat-shaded + no UV
+    (the baked-triangle kernel has no st-checker stage)."""
     mesh_ok = scene.meshes.count == 0 or (
-        scene.meshes.count <= MAX_FUSED_TRIS and not scene.meshes.smooth)
+        scene.meshes.count <= MAX_FUSED_TRIS and not scene.meshes.smooth
+        and not scene.meshes.has_uv)
     return bool(mesh_ok)
 
 

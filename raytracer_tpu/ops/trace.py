@@ -261,6 +261,24 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
         t = jnp.where(m, tt, t)
         nrm = jnp.where(m[:, None], nt, nrm)
         mat_id = jnp.where(m, scene.meshes.mat_id[i], mat_id)
+        if scene.meshes.has_uv:
+            # barycentric st from the winner's vertex uvs (vertex-aligned —
+            # SPEC "Mesh UV"); checker pattern = the plane formula on (s,t).
+            # Differentiable: st flows from (u, v) → triangle verts; albedo2
+            # flows to the material-fit path like the plane checker colors.
+            st0, st1, st2 = (scene.meshes.uvs[tri[:, k]] for k in range(3))
+            st = ((1.0 - u - v)[:, None] * st0 + u[:, None] * st1
+                  + v[:, None] * st2)
+            sc = scene.meshes.checker_scale[i]
+            fu = st[:, 0] * sc - jnp.floor(st[:, 0] * sc)
+            fv = st[:, 1] * sc - jnp.floor(st[:, 1] * sc)
+            pattern = (fu > 0.5) ^ (fv > 0.5)
+            is_chk = m & (scene.meshes.checker[i] > 0)
+            mat_alb = scene.materials.albedo[scene.meshes.mat_id[i]]
+            calb = jnp.where(pattern[:, None], scene.meshes.albedo2[i],
+                             mat_alb)
+            checker_mask = checker_mask | is_chk
+            checker_albedo = jnp.where(is_chk[:, None], calb, checker_albedo)
 
     valid = hit.kind != KIND_NONE
     p = orig + t[:, None] * direc

@@ -126,6 +126,11 @@ class Oracle:
         self.tris = i(scene.meshes.tris)
         self.vnorm = f(scene.meshes.normals)
         self.tm = i(scene.meshes.mat_id)
+        self.tuv = f(scene.meshes.uvs)
+        self.tchk = i(scene.meshes.checker)
+        self.tcs = f(scene.meshes.checker_scale)
+        self.ta2 = f(scene.meshes.albedo2)
+        self.has_uv = scene.meshes.has_uv
         if len(self.tris):
             v0 = self.verts[self.tris[:, 0]]
             self.tv0 = v0
@@ -221,6 +226,15 @@ class Oracle:
                 n = _normalize(np.cross(self.te1[idx], self.te2[idx]))
             mat = self.tm[idx]
             albedo = self.ma[mat]
+            if self.has_uv and self.tchk[idx]:
+                tri = self.tris[idx]
+                st = ((1 - u - v) * self.tuv[tri[0]] + u * self.tuv[tri[1]]
+                      + v * self.tuv[tri[2]])
+                sc = self.tcs[idx]
+                fu = st[0] * sc - np.floor(st[0] * sc)
+                fv = st[1] * sc - np.floor(st[1] * sc)
+                if (fu > 0.5) != (fv > 0.5):
+                    albedo = self.ta2[idx]
         return p, n, int(mat), albedo
 
     def cast_ray(self, orig, d, depth):

@@ -1,6 +1,5 @@
 """Unit tests for benchmark helpers (no device timing)."""
 
-import dataclasses
 import json
 
 from benchmarks.rays_per_sec import BWD_UNIT_BUDGET, _bands
@@ -29,6 +28,8 @@ def test_single_band_when_small():
     assert _bands(opts) == [(0, 128)]
 
 
+# ---- bench.py ladder logic (incremental-emission rung machine) ----
+
 def _fake_phase(calls, mesh_ok):
     """Build a _phase stand-in: config4 phases succeed iff mesh_ok."""
     def fake(phase, config=None, extra=(), timeout=3000, env=None):
@@ -38,13 +39,14 @@ def _fake_phase(calls, mesh_ok):
         if config == "config4" and not mesh_ok:
             return None
         if phase == "fwd":
-            return {"fwd_s": 1e-3, "width": 1920, "height": 1080,
-                    "max_depth": 2 if config == "config2" else 4,
-                    "config": config, "device": "fake"}
+            res = {"fwd_s": 1e-3, "width": 1920, "height": 1080,
+                   "max_depth": 2 if config == "config2" else 4,
+                   "config": config, "device": "fake"}
+            if "--with-count" in extra:
+                res["rays_per_frame"] = 4.0e6
+            return res
         if phase == "bwd":
             return {"fwd_bwd_s": 2e-3, "bwd_bands": 1}
-        if phase == "count":
-            return {"rays_per_frame": 4.0e6}
         raise AssertionError(phase)
     return fake
 
@@ -53,22 +55,41 @@ def _run_bench_main(monkeypatch, capsys, mesh_ok):
     import bench
     calls = []
     monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.delenv("RT_BENCH_SMOKE", raising=False)
     monkeypatch.setattr(bench, "_phase", _fake_phase(calls, mesh_ok))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
-    return calls, json.loads(out[-1])
+    return calls, [json.loads(line) for line in out]
+
+
+def test_ladder_emits_incrementally_and_last_line_is_best(monkeypatch,
+                                                          capsys):
+    calls, lines = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
+    # multiple lines emitted (driver tail-parse gets a number even on kill)
+    assert len(lines) >= 4
+    # first line lands after ONE fwd phase: the reliable config2 rung
+    assert lines[0]["metric"].endswith("config2")
+    assert "fwd" in lines[0]["metric"]
+    # last line = the headline rung (config4 fwd+bwd)
+    assert lines[-1]["metric"].endswith("config4")
+    assert "fwd_bwd" in lines[-1]["metric"]
+    assert lines[-1]["value"] > 0
+    # rung ladder ran cheap→headline: config2 fwd before any config4 phase
+    kinds = [(c[1], c[0]) for c in calls if c[0] in ("fwd", "bwd")]
+    assert kinds.index(("config2", "fwd")) < kinds.index(("config4", "fwd"))
 
 
 def test_mesh_preflight_failure_skips_mesh_rungs(monkeypatch, capsys):
-    calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=False)
+    calls, lines = _run_bench_main(monkeypatch, capsys, mesh_ok=False)
     # Exactly one config4 fwd attempt: the small preflight render (the
     # band-scale preflights never run once it fails).
     c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
     assert len(c4_fwd) == 1
     assert "480" in c4_fwd[0][2]
     # Fallback lands on the fused config3 rung (no grid programs) and still
-    # reports a fwd+bwd metric.
+    # reports a fwd+bwd metric as the LAST emitted line.
+    result = lines[-1]
     assert result["metric"].endswith("config3")
     c3 = [c for c in calls if c[0] == "fwd" and c[1] == "config3"]
     assert c3 and c3[0][3].get("RT_BENCH_FUSED") == "1"
@@ -78,38 +99,42 @@ def test_mesh_preflight_failure_skips_mesh_rungs(monkeypatch, capsys):
 
 def test_transient_unhealthy_preflight_keeps_mesh_rungs(monkeypatch, capsys):
     # If the probe never comes up at preflight time (transient tunnel
-    # poisoning), the mesh path is NOT indicted: keep every config4 rung.
+    # poisoning), the mesh path is NOT indicted: the config4 rung still runs.
     import bench
     calls = []
     monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.delenv("RT_BENCH_SMOKE", raising=False)
     monkeypatch.setattr(bench, "_phase", _fake_phase(calls, mesh_ok=True))
-    health = iter([False])  # preflight probe fails; later probes succeed
+    # health-check order: config2 fwd, config2 bwd, config3 fwd, config3 bwd,
+    # then the PREFLIGHT check (False), then the config4 rung phases (True)
+    health = iter([True, True, True, True, False])
     monkeypatch.setattr(bench, "_wait_healthy",
                         lambda max_wait=2000: next(health, True))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench.main()
-    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
     c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
-    # no small preflight render ran, but the full primary rung did
-    assert len(c4_fwd) == 1 and c4_fwd[0][2] == ()
-    assert result["metric"].endswith("config4")
+    # no preflight render ran, but the full primary rung did
+    assert len(c4_fwd) == 1 and c4_fwd[0][2] == ("--with-count",)
+    assert lines[-1]["metric"].endswith("config4")
 
 
 def test_mesh_preflight_success_runs_primary(monkeypatch, capsys):
-    calls, result = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
+    calls, lines = _run_bench_main(monkeypatch, capsys, mesh_ok=True)
     # Preflight ladder (small + band-scale), then the full-size primary rung.
     c4_fwd = [c for c in calls if c[0] == "fwd" and c[1] == "config4"]
     assert len(c4_fwd) == 3
     assert "480" in c4_fwd[0][2]      # small preflight
     assert "270" in c4_fwd[1][2]      # band-scale preflight (1920x270 d4)
-    assert c4_fwd[2][2] == ()         # the real rung
-    assert result["metric"].endswith("config4")
-    assert result["value"] > 0
+    assert c4_fwd[2][2] == ("--with-count",)   # the real rung
+    assert lines[-1]["metric"].endswith("config4")
+    assert lines[-1]["value"] > 0
 
 
 def test_band_preflight_failure_keeps_only_small_rung(monkeypatch, capsys):
-    """Band-scale preflight fails, small-band preflight passes → only the
-    800k-budget rung survives (today's boundary is between them)."""
+    """Band-scale preflight fails, small-band preflight passes → the rung
+    runs at the 800k budget (today's boundary is between them)."""
     import bench
     calls = []
 
@@ -120,22 +145,26 @@ def test_band_preflight_failure_keeps_only_small_rung(monkeypatch, capsys):
         if config == "config4" and "270" in extra and "1920" in extra:
             return None  # the 2.6M-unit band faults
         if phase == "fwd":
-            return {"fwd_s": 1e-3, "width": 1920, "height": 1080,
-                    "max_depth": 2 if config == "config2" else 4,
-                    "config": config, "device": "fake"}
+            res = {"fwd_s": 1e-3, "width": 1920, "height": 1080,
+                   "max_depth": 2 if config == "config2" else 4,
+                   "config": config, "device": "fake"}
+            if "--with-count" in extra:
+                res["rays_per_frame"] = 4.0e6
+            return res
         if phase == "bwd":
             return {"fwd_bwd_s": 2e-3, "bwd_bands": 1}
-        if phase == "count":
-            return {"rays_per_frame": 4.0e6}
         raise AssertionError(phase)
 
     monkeypatch.delenv("RT_BENCH_CONFIG", raising=False)
+    monkeypatch.delenv("RT_BENCH_SMOKE", raising=False)
     monkeypatch.setattr(bench, "_phase", fake)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     bench.main()
-    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
     full_rungs = [c for c in calls
-                  if c[0] == "fwd" and c[1] == "config4" and c[2] == ()]
+                  if c[0] == "fwd" and c[1] == "config4"
+                  and c[2] == ("--with-count",)]
     assert len(full_rungs) == 1
     assert full_rungs[0][3].get("RT_BWD_UNIT_BUDGET") == "800000"
-    assert result["metric"].endswith("config4")
+    assert lines[-1]["metric"].endswith("config4")

@@ -25,6 +25,7 @@ CASES = [
     ("config2", 96, 96, 0.004),
     ("config3", 96, 96, 0.004),
     ("config4", 192, 108, 0.004),
+    ("config7", 128, 128, 0.004),   # UV-checkered mesh (SPEC mesh_uv)
 ]
 
 

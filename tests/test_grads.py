@@ -215,3 +215,30 @@ def test_inverse_mesh_preset_recovers_geometry(tmp_path, capsys):
     assert losses[-1] < 0.8 * losses[0]
     vis = [float(m) for m in re.findall(r"visible (\d+\.\d+)", out)]
     assert len(vis) == 2 and vis[1] < 0.85 * vis[0]  # init -> recovered
+
+
+def test_grad_uv_checker_albedo2():
+    """Pixel loss → mesh st-checker colors (SPEC "Mesh UV"): gradients flow
+    through the barycentric st interpolation to `Meshes.albedo2`, and FD
+    agrees away from checker-cell boundaries."""
+    from raytracer_tpu.models.presets import config7_uv_quad
+
+    scene, cam, opts = config7_uv_quad()
+    opts = dataclasses.replace(opts, width=RES, height=RES, max_depth=0)
+    timg = render(scene, cam, opts)[0] * 0.0 + 0.25
+
+    def loss(a2):
+        sc = scene.replace(
+            meshes=dataclasses.replace(scene.meshes, albedo2=a2))
+        return jnp.mean((render(sc, cam, opts)[0] - timg) ** 2)
+
+    a0 = jnp.asarray(scene.meshes.albedo2)
+    g = np.asarray(jax.grad(loss)(a0), np.float64)
+    assert not np.isnan(g).any()
+    assert np.abs(g).max() > 0, "no gradient reached albedo2"
+    eps = 1e-3
+    for k in (0, 4):  # one coord per triangle row
+        xp = a0.ravel().at[k].add(eps).reshape(a0.shape)
+        xm = a0.ravel().at[k].add(-eps).reshape(a0.shape)
+        fd = (float(loss(xp)) - float(loss(xm))) / (2 * eps)
+        assert g.ravel()[k] == pytest.approx(fd, rel=0.02, abs=5e-6)

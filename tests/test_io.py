@@ -22,23 +22,54 @@ def test_obj_roundtrip(tmp_path):
     normals = meshgen.vertex_normals(verts, tris)
     p = tmp_path / "m.obj"
     save_obj(str(p), verts, tris, normals)
-    v2, t2, n2 = load_obj(str(p))
+    v2, t2, n2, uv2 = load_obj(str(p))
     np.testing.assert_allclose(v2, verts, atol=1e-5)
     np.testing.assert_array_equal(t2, tris)
-    assert n2 is not None
+    assert n2 is not None and uv2 is None
     np.testing.assert_allclose(n2, normals, atol=1e-5)
 
 
 def test_obj_fan_and_negative_indices(tmp_path):
     p = tmp_path / "quad.obj"
     p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\nf -4 -3 -2\n")
-    v, t, n = load_obj(str(p))
+    v, t, n, uv = load_obj(str(p))
     assert v.shape == (4, 3)
     # quad fan → 2 tris, plus the negative-index tri
     assert t.shape == (3, 3)
     np.testing.assert_array_equal(t[0], [0, 1, 2])
     np.testing.assert_array_equal(t[1], [0, 2, 3])
     np.testing.assert_array_equal(t[2], [0, 1, 2])
+
+
+def test_obj_uv_roundtrip(tmp_path):
+    """Vertex-aligned uv export → reload keeps uvs aligned and order intact."""
+    verts, tris = meshgen.icosphere(subdiv=1)
+    uvs = np.stack([np.linspace(0, 1, len(verts)),
+                    np.linspace(1, 0, len(verts))], axis=1).astype(np.float32)
+    p = tmp_path / "uv.obj"
+    save_obj(str(p), verts, tris, uvs=uvs)
+    v2, t2, n2, uv2 = load_obj(str(p))
+    assert uv2 is not None and n2 is None
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    np.testing.assert_array_equal(t2, tris)
+    np.testing.assert_allclose(uv2, uvs, atol=1e-5)
+
+
+def test_obj_uv_corner_split(tmp_path):
+    """Per-corner vt indices that disagree on a shared vertex split it."""
+    p = tmp_path / "split.obj"
+    # two triangles sharing the edge 1-3 with DIFFERENT vt on vertex 1
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                 "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+                 "f 1/1 2/2 3/3\nf 1/2 3/3 4/4\n")
+    v, t, n, uv = load_obj(str(p))
+    assert uv is not None
+    assert v.shape[0] == 5          # vertex 1 split into (v1,vt1) and (v1,vt2)
+    assert t.shape == (2, 3)
+    # corners carry their own uv
+    np.testing.assert_allclose(uv[t[0, 0]], [0, 0], atol=1e-6)
+    np.testing.assert_allclose(uv[t[1, 0]], [1, 0], atol=1e-6)
+    np.testing.assert_allclose(v[t[0, 0]], v[t[1, 0]], atol=1e-6)
 
 
 def test_icosphere_counts():

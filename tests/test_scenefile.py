@@ -26,7 +26,7 @@ def _assert_tree_equal(a, b, what):
                                       err_msg=what)
 
 
-@pytest.mark.parametrize("name", ["config1", "config2", "config3"])
+@pytest.mark.parametrize("name", ["config1", "config2", "config3", "config7"])
 def test_roundtrip_presets(tmp_path, name):
     scene, cam, opts = presets.PRESETS[name]()
     path = str(tmp_path / "s.txt")

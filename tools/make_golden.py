@@ -28,6 +28,7 @@ GOLDENS = {
     "config2": [(256, 256), (96, 96)],
     "config3": [(192, 192), (96, 96)],
     "config4": [(192, 108)],
+    "config7": [(128, 128)],
 }
 
 
