@@ -12,6 +12,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from raytracer_tpu.models import presets
 from raytracer_tpu.ops import geometry as geom
@@ -61,6 +62,7 @@ def _apply_center(scene, p):
     return scene.replace(spheres=s, materials=m)
 
 
+@pytest.mark.slow
 def test_value_and_grad_banded_matches_full():
     """Banded loss+grads == whole-frame value_and_grad (up to band-sum
     association) on a mesh scene — the gradient analog of render_banded."""

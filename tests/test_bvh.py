@@ -136,6 +136,7 @@ def test_bvh_occlusion_matches_brute(mesh_scene):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_stacked_bvh_sharded_render(mesh_scene):
     """Per-shard BVHs (accel='bvh') must reproduce the brute sharded render,
     for both the all-gather combine and the ppermute ring."""
@@ -176,6 +177,7 @@ def test_stacked_bvh_covers_all_tris(mesh_scene):
             assert lk.min() >= 0 and lk.max() <= st["n_nodes"]
 
 
+@pytest.mark.slow
 def test_bvh_gradients_match_brute(mesh_scene):
     """Winner recompute is backend-independent: loss grads w.r.t. vertices and
     material albedo must match the default tracer's."""

@@ -29,6 +29,7 @@ def cornell():
     return scene, cam, opts
 
 
+@pytest.mark.slow
 def test_compact_matches_default(cornell):
     scene, cam, opts = cornell
     ref, n_ref = jax.jit(
@@ -42,6 +43,7 @@ def test_compact_matches_default(cornell):
                                atol=1e-5)  # fold association only
 
 
+@pytest.mark.slow
 def test_compact_multi_tile_and_bands(cornell):
     scene, cam, opts = cornell
     oc1 = dataclasses.replace(opts, compact_cap=1)
@@ -52,6 +54,7 @@ def test_compact_multi_tile_and_bands(cornell):
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_compact_gradients_match(cornell):
     scene, cam, opts = cornell
     opts = dataclasses.replace(opts, width=48, height=48, tile_rays=2304,

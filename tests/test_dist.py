@@ -47,6 +47,7 @@ def test_sharded_equals_single(scene_small, ref_img, tiles, prims, ring):
     np.testing.assert_array_equal(img, ref_img)
 
 
+@pytest.mark.slow
 def test_sharded_mesh_scene(ref_img):
     """Triangle-mesh scene through prim sharding (tri shard path)."""
     scene, cam, opts = presets.config3_cornell()
@@ -63,6 +64,7 @@ def test_sharded_mesh_scene(ref_img):
     np.testing.assert_allclose(ring, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_grads_equal_unsharded(scene_small):
     scene, cam, opts = scene_small
     opts = dataclasses.replace(opts, width=32, height=32, tile_rays=256)

@@ -23,13 +23,13 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 CASES = [
     ("config1", 256, 256, 0.004),
     ("config2", 96, 96, 0.004),
-    ("config3", 96, 96, 0.004),
-    ("config4", 192, 108, 0.004),
+    pytest.param("config3", 96, 96, 0.004, marks=pytest.mark.slow),
+    pytest.param("config4", 192, 108, 0.004, marks=pytest.mark.slow),
     ("config7", 128, 128, 0.004),   # UV-checkered mesh (SPEC mesh_uv)
 ]
 
 
-@pytest.mark.parametrize("name,w,h,tol", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("name,w,h,tol", CASES)
 def test_golden(name, w, h, tol):
     path = os.path.join(GOLDEN, f"{name}_{w}x{h}.ppm")
     if not os.path.exists(path):

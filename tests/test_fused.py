@@ -29,6 +29,7 @@ def test_supported_gate():
     assert not fused.supported(scene4)  # big smooth mesh → grid/BVH tracers
 
 
+@pytest.mark.slow
 def test_fused_config3_glass_cornell():
     """Glass recursion + baked Cornell triangles vs the wavefront renderer.
 
@@ -71,6 +72,7 @@ def test_fused_config2_mirror_checker():
     assert np.abs(img - ref).mean() < 1e-4
 
 
+@pytest.mark.slow
 def test_fused_band_split():
     """Band renders must tile into exactly the full-frame render (and exercise
     non-multiple-of-8 band heights)."""
@@ -86,6 +88,7 @@ def test_fused_band_split():
                                atol=1e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_fused_odd_width():
     """Width not a lane multiple: padded columns must be cropped, not leak."""
     scene, cam, opts = presets.config1_sphere_plane()

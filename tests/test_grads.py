@@ -197,6 +197,7 @@ def test_grad_camera_params():
     assert float(gf) == pytest.approx(fd, rel=0.05, abs=5e-5)
 
 
+@pytest.mark.slow
 def test_inverse_mesh_preset_recovers_geometry(tmp_path, capsys):
     """config6 end-to-end (cli optimize --preset mesh, short run): pixel loss
     falls and camera-visible vertex error improves — gradients flow to

@@ -253,6 +253,7 @@ def test_grid_fanout_matches_sequential(mesh_scene):
                                       np.asarray(o1) < 6.0)
 
 
+@pytest.mark.slow
 def test_grid_fanout_render_and_masking(mesh_scene):
     """End-to-end render through a fanout tracer equals the default tracer;
     active-mask contract (parked lanes → miss/INF) holds under fanout."""

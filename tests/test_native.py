@@ -42,7 +42,8 @@ def test_obj_loader_identical(mesh):
     from raytracer_tpu.io.obj import _load_obj_py
 
     nv, nt, nn = N.native_lib().load_obj(_OBJ)
-    pv, pt, pn = _load_obj_py(_OBJ)
+    pv, pt, pn, puv = _load_obj_py(_OBJ)
+    assert puv is None  # the asset has no vt; native path only covers no-vt
     np.testing.assert_array_equal(nv, pv)
     np.testing.assert_array_equal(nt, pt)
     assert (nn is None) == (pn is None)

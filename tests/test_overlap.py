@@ -50,12 +50,14 @@ def mesh8():
     return make_rt_mesh(tiles=4, prims=2, devices=jax.devices()[:8])
 
 
+@pytest.mark.slow
 def test_overlap_mirror_scene(mesh8):
     scene, cam, opts = presets.config2_mirror_spheres()
     opts = dataclasses.replace(opts, width=64, height=64, max_depth=2)
     _compare(scene, cam, opts, mesh8)
 
 
+@pytest.mark.slow
 def test_overlap_glass_scene(mesh8):
     """Glass: ray buffers statically double per bounce; the reverse sweep
     must thread the doubled state cotangents correctly."""
@@ -64,12 +66,14 @@ def test_overlap_glass_scene(mesh8):
     _compare(scene, cam, opts, mesh8)
 
 
+@pytest.mark.slow
 def test_overlap_ring_tracer(mesh8):
     scene, cam, opts = presets.config2_mirror_spheres()
     opts = dataclasses.replace(opts, width=64, height=64, max_depth=1)
     _compare(scene, cam, opts, mesh8, ring=True)
 
 
+@pytest.mark.slow
 def test_overlap_uneven_pixels(mesh8):
     """Pixel count not divisible by the tile axis: padded lanes must not
     contribute to loss or gradients."""

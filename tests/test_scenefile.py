@@ -115,6 +115,7 @@ def test_golden_scene_files_parse():
         assert opts.width > 0
 
 
+@pytest.mark.slow
 def test_example_scenes(tmp_path):
     """Shipped examples/ scenes parse; the analytic one renders at tiny res
     and matches the NumPy oracle."""
