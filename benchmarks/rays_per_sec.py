@@ -65,7 +65,7 @@ def _with_params(scene, p):
 
 
 def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
-           use_grid=None, tracer_kind=None):
+           tracer_kind=None):
     scene, cam, opts = presets.PRESETS[config]()
     if width:
         opts = dataclasses.replace(opts, width=width, height=height or width)
@@ -85,12 +85,15 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     tracer = None
     if tracer_kind is None:
         tracer_kind = os.environ.get("RT_BENCH_TRACER", "grid")
-    if use_grid or (use_grid is None and scene.meshes.count
-                    and tracer_kind != "none"):
+    if scene.meshes.count and tracer_kind != "none":
         if tracer_kind == "bvh":
             from raytracer_tpu.accel.bvh import BVHTracer
 
             tracer = BVHTracer.build(scene)
+        elif tracer_kind == "pallas":
+            from raytracer_tpu.ops.pallas_trace import PallasTracer
+
+            tracer = PallasTracer(scene)
         else:
             from raytracer_tpu.accel.grid import GridTracer
 

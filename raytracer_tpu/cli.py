@@ -326,10 +326,12 @@ def main(argv=None):
     pr.add_argument("--grid", action="store_true",
                     help="(deprecated) alias for --tracer grid")
     pr.add_argument("--tracer", default="auto",
-                    choices=["auto", "none", "grid", "bvh", "fused"],
+                    choices=["auto", "none", "grid", "bvh", "pallas", "fused"],
                     help="mesh winner-search backend (auto = grid when the "
-                         "scene has triangles; fused = single-kernel forward "
-                         "for scenes without big meshes, glass included)")
+                         "scene has triangles; pallas = brute-force VPU "
+                         "megakernel over all triangles; fused = "
+                         "single-kernel forward for scenes without big "
+                         "meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
     pr.add_argument("--compact", type=int, default=0,

@@ -308,8 +308,6 @@ class RenderOptions:
     tile_rays: int = 16384   # wavefront tile size (primary rays per device step)
     remat_tiles: bool = True  # jax.checkpoint per tile (bounded backward memory)
     tri_chunk: int = 1024    # triangles per inner scan step in the jnp trace
-    use_pallas: bool = False  # Pallas megakernel for trace (TPU); jnp otherwise
-    use_grid: bool = False    # uniform-grid acceleration for meshes
     compact_cap: int | None = None  # wavefront lane compaction: cap the ray
     # buffer at compact_cap×(primary rays) per bounce, keeping alive lanes
     # (glass scenes otherwise DOUBLE the buffer per bounce while occupancy

@@ -28,7 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DET_EPS = 1e-8
-_INTERPRET = False  # flipped by tests/conftest on CPU
+_INTERPRET = None  # None = auto (interpret off TPU); tests force True
+
+
+def _auto_interpret() -> bool:
+    if _INTERPRET is not None:
+        return _INTERPRET
+    return jax.default_backend() != "tpu"  # Mosaic lowering needs a real TPU
 
 
 def _cdiv(a, b):
@@ -133,7 +139,7 @@ def tri_nearest(orig, direc, tri_planar, t_min: float = 1e-4, br: int = 256,
 
     tri_planar: [9, Tp] from pack_tris (Tp a multiple of bt).
     """
-    interpret = _INTERPRET if interpret is None else interpret
+    interpret = _auto_interpret() if interpret is None else interpret
     cols, n, np_ = _prep_rays(orig, direc, br)
     tp = tri_planar.shape[1]
     grid = (np_ // br, tp // bt)
@@ -161,7 +167,7 @@ def tri_nearest(orig, direc, tri_planar, t_min: float = 1e-4, br: int = 256,
 def tri_occluded(orig, direc, max_t, tri_planar, t_min: float = 1e-4,
                  br: int = 256, bt: int = 512, interpret: bool | None = None):
     """Any-hit with t in (t_min, max_t) per ray → bool [N]."""
-    interpret = _INTERPRET if interpret is None else interpret
+    interpret = _auto_interpret() if interpret is None else interpret
     cols, n, np_ = _prep_rays(orig, direc, br)
     maxt = max_t.reshape(-1, 1)
     if maxt.shape[0] != np_:

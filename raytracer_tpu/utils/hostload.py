@@ -30,10 +30,10 @@ def load_scene_cli(config: str = "", scene_path: str = "", width: int = 0,
 
 
 def build_tracer(scene, kind: str):
-    """Winner-search backend for `kind` in {auto, none, grid, bvh}; None when
-    the scene has no mesh (dense scan covers analytic prims). The `fused`
-    backend is NOT built here — it replaces the whole renderer, not the
-    tracer (cli.cmd_render handles it explicitly)."""
+    """Winner-search backend for `kind` in {auto, none, grid, bvh, pallas};
+    None when the scene has no mesh (dense scan covers analytic prims). The
+    `fused` backend is NOT built here — it replaces the whole renderer, not
+    the tracer (cli.cmd_render handles it explicitly)."""
     if not scene.meshes.count or kind == "none":
         return None
     if kind in ("grid", "auto"):
@@ -44,6 +44,10 @@ def build_tracer(scene, kind: str):
         from raytracer_tpu.accel.bvh import BVHTracer
 
         return BVHTracer.build(scene)
+    if kind == "pallas":
+        from raytracer_tpu.ops.pallas_trace import PallasTracer
+
+        return PallasTracer(scene)
     raise ValueError(f"unknown tracer kind: {kind!r}")
 
 
