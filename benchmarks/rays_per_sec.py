@@ -94,6 +94,10 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
             from raytracer_tpu.ops.pallas_trace import PallasTracer
 
             tracer = PallasTracer(scene)
+        elif tracer_kind == "grid-pallas":
+            from raytracer_tpu.accel.grid import GridTracer
+
+            tracer = GridTracer.build(scene, walk="pallas")
         else:
             from raytracer_tpu.accel.grid import GridTracer
 

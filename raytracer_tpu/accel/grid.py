@@ -241,6 +241,57 @@ def _eval_candidates(orig, direc, idx, soa, tids_tab, v0p, e1p, e2p, t_min):
     return ts, tids
 
 
+def walk_init(grid: GridData, orig, direc, t_min, active=None):
+    """Shared DDA entry state (overflow brute seed + slab entry + first cell).
+
+    Extracted so every walk backend (XLA while_loop here, the Pallas kernel
+    in ops/pallas_walk.py) starts from BITWISE-identical state.
+    → (best_t, best_i, cell [N,3] i32, tmax [N,3], step [N,3] i32,
+       tdelta [N,3], active [N] bool)
+    """
+    n = orig.shape[0]
+    nx, ny, nz = grid.res
+    resv = jnp.asarray([nx, ny, nz], jnp.int32)
+
+    best_t = jnp.full((n,), INF, jnp.float32)
+    best_i = jnp.full((n,), grid.n_tris, jnp.int32)
+
+    # overflow list: brute once (tiny; pre-gathered SoA so XLA fuses the
+    # [N,O] candidate matrix into the reduce instead of materializing gathers)
+    if grid.overflow.shape[0]:
+        ts, _, _ = geom.triangle_hits(orig, direc, grid.ov_v0, grid.ov_e1,
+                                      grid.ov_e2, t_min)
+        if active is not None:  # parked lanes must return miss/INF (contract)
+            ts = jnp.where(jax.lax.stop_gradient(active)[:, None], ts, INF)
+        best_t = jnp.min(ts, axis=1)
+        best_i = jnp.where(jnp.isinf(best_t), grid.n_tris,
+                           grid.overflow[jnp.argmin(ts, axis=1)])
+
+    # ray/AABB slab entry
+    bmax = grid.bmin + grid.cell_size * resv.astype(jnp.float32)
+    inv_d = jnp.where(jnp.abs(direc) > 1e-12, 1.0 / direc, 1e12)
+    t0 = (grid.bmin[None, :] - orig) * inv_d
+    t1 = (bmax[None, :] - orig) * inv_d
+    tlo = jnp.minimum(t0, t1).max(axis=1)
+    thi = jnp.maximum(t0, t1).min(axis=1)
+    t_entry = jnp.maximum(tlo, 0.0)
+    inside = (thi >= t_entry) & (thi > 0)
+    if active is not None:
+        inside &= jax.lax.stop_gradient(active)
+
+    p_entry = orig + (t_entry + 1e-5)[:, None] * direc
+    cellf = (p_entry - grid.bmin[None, :]) * grid.inv_cell[None, :]
+    cell = jnp.clip(jnp.floor(cellf).astype(jnp.int32), 0, resv - 1)
+    step = jnp.where(direc > 0, 1, -1).astype(jnp.int32)
+    tdelta = jnp.abs(grid.cell_size[None, :] * inv_d)
+    next_bound = (grid.bmin[None, :]
+                  + (cell + (step > 0)).astype(jnp.float32)
+                  * grid.cell_size[None, :])
+    tmax = jnp.where(jnp.abs(direc) > 1e-12,
+                     (next_bound - orig) * inv_d, INF)
+    return best_t, best_i, cell, tmax, step, tdelta, inside
+
+
 def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
               occlusion_max_t=None, fixed_steps: bool = False,
               skip_steps: int | None = None, active=None,
@@ -293,47 +344,18 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
     v0p, e1p, e2p = _pad_soa(v0, e1, e2)
 
-    best_t = jnp.full((n,), INF, jnp.float32)
-    best_i = jnp.full((n,), grid.n_tris, jnp.int32)
-
-    # overflow list: brute once (tiny; pre-gathered SoA so XLA fuses the
-    # [N,O] candidate matrix into the reduce instead of materializing gathers)
-    if grid.overflow.shape[0]:
-        ts, _, _ = geom.triangle_hits(orig, direc, grid.ov_v0, grid.ov_e1,
-                                      grid.ov_e2, t_min)
-        if active is not None:  # parked lanes must return miss/INF (contract)
-            ts = jnp.where(jax.lax.stop_gradient(active)[:, None], ts, INF)
-        best_t = jnp.min(ts, axis=1)
-        best_i = jnp.where(jnp.isinf(best_t), grid.n_tris,
-                           grid.overflow[jnp.argmin(ts, axis=1)])
-
-    # ray/AABB slab entry
-    bmax = grid.bmin + grid.cell_size * resv.astype(jnp.float32)
-    inv_d = jnp.where(jnp.abs(direc) > 1e-12, 1.0 / direc, 1e12)
-    t0 = (grid.bmin[None, :] - orig) * inv_d
-    t1 = (bmax[None, :] - orig) * inv_d
-    tlo = jnp.minimum(t0, t1).max(axis=1)
-    thi = jnp.maximum(t0, t1).min(axis=1)
-    t_entry = jnp.maximum(tlo, 0.0)
-    inside = (thi >= t_entry) & (thi > 0)
-    if active is not None:
-        inside &= jax.lax.stop_gradient(active)
-
-    p_entry = orig + (t_entry + 1e-5)[:, None] * direc
-    cellf = (p_entry - grid.bmin[None, :]) * grid.inv_cell[None, :]
-    cell = jnp.clip(jnp.floor(cellf).astype(jnp.int32), 0, resv - 1)
-    step = jnp.where(direc > 0, 1, -1).astype(jnp.int32)
-    tdelta = jnp.abs(grid.cell_size[None, :] * inv_d)
-    next_bound = (grid.bmin[None, :]
-                  + (cell + (step > 0)).astype(jnp.float32)
-                  * grid.cell_size[None, :])
-    tmax = jnp.where(jnp.abs(direc) > 1e-12,
-                     (next_bound - orig) * inv_d, INF)
-
-    active = inside
+    best_t, best_i, cell, tmax, step, tdelta, active = walk_init(
+        grid, orig, direc, t_min, active)
     max_steps = nx + ny + nz + 2
     # each iteration advances `fanout` cells (K-1 intra-batch + 1 post-fold)
     max_iters = -(-max_steps // fanout)
+    # RT_GRID_ITER_CAP (DEBUG/PROFILING ONLY): cap the walk's iteration
+    # budget to measure per-iteration marginal cost (benchmarks/walk_cost).
+    # Under-walking truncates grazing rays => WRONG images; never set in
+    # production.
+    cap = int(os.environ.get("RT_GRID_ITER_CAP", 0))
+    if cap > 0:
+        max_iters = min(max_iters, cap)
 
     def parked(best_t, tmax_min):
         if occlusion_max_t is not None:
@@ -436,7 +458,8 @@ class GridTracer:
     """
 
     def __init__(self, scene, grid: GridData, fixed_steps: bool | None = None,
-                 skip_steps: int | None = None, fanout: int | None = None):
+                 skip_steps: int | None = None, fanout: int | None = None,
+                 walk: str | None = None):
         import os
 
         from raytracer_tpu.core.types import as_jax
@@ -454,6 +477,19 @@ class GridTracer:
         if fanout is None:
             fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
         self._fanout = max(1, fanout)
+        # walk backend: 'xla' (default, the shipping while_loop walk) or
+        # 'pallas' (ops/pallas_walk.py — the fused-kernel twin; correctness
+        # coverage + a program shape that dodges the ~3M-unit XLA grid
+        # fault; slower, see its module docstring)
+        if walk is None:
+            walk = os.environ.get("RT_GRID_WALK", "xla")
+        assert walk in ("xla", "pallas"), walk
+        self._walk = walk
+        self._table = None
+        if walk == "pallas":
+            from raytracer_tpu.ops.pallas_walk import pack_cell_table
+
+            self._table = jax.lax.stop_gradient(pack_cell_table(grid))
         v0, e1, e2 = self._scene.meshes.tri_soa()
         self._soa = jax.lax.stop_gradient((jnp.asarray(v0, jnp.float32),
                                            jnp.asarray(e1, jnp.float32),
@@ -463,7 +499,7 @@ class GridTracer:
     def build(scene, capacity: int | None = None, res=None,
               density: float | None = None, fixed_steps: bool | None = None,
               pregather: bool | None = None, exact: bool | None = None,
-              fanout: int | None = None):
+              fanout: int | None = None, walk: str | None = None):
         import os
 
         # env overrides so perf sweeps (benchmarks/) can tune the build
@@ -488,7 +524,8 @@ class GridTracer:
                           np.asarray(scene.meshes.tris), res=res,
                           capacity=capacity, density=density,
                           pregather=pregather, exact=exact)
-        return GridTracer(scene, grid, fixed_steps=fixed_steps, fanout=fanout)
+        return GridTracer(scene, grid, fixed_steps=fixed_steps, fanout=fanout,
+                          walk=walk)
 
     def nearest(self, orig, direc, t_min, tri_chunk, active=None):
         from raytracer_tpu.core.types import KIND_TRIANGLE
@@ -501,9 +538,15 @@ class GridTracer:
             self._scene.replace(meshes=_EMPTY_MESHES), orig, direc, t_min,
             tri_chunk)
         v0, e1, e2 = self._soa
-        tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                           fixed_steps=self._fixed, skip_steps=self._skip,
-                           active=active, fanout=self._fanout)
+        if self._walk == "pallas":
+            from raytracer_tpu.ops.pallas_walk import pallas_grid_walk
+
+            tb, ib = pallas_grid_walk(self._grid, self._table, orig, direc,
+                                      t_min, active=active)
+        else:
+            tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
+                               fixed_steps=self._fixed, skip_steps=self._skip,
+                               active=active, fanout=self._fanout)
         better = tb < base.t
         return trace_ops.Hit(
             kind=jnp.where(better, KIND_TRIANGLE, base.kind),
@@ -519,10 +562,17 @@ class GridTracer:
         occ = trace_ops.occluded(self._scene.replace(meshes=_EMPTY_MESHES),
                                  orig, direc, max_t, t_min, tri_chunk)
         v0, e1, e2 = self._soa
-        tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
-                          occlusion_max_t=max_t, fixed_steps=self._fixed,
-                          skip_steps=self._skip, active=active,
-                          fanout=self._fanout)
+        if self._walk == "pallas":
+            from raytracer_tpu.ops.pallas_walk import pallas_grid_walk
+
+            tb, _ = pallas_grid_walk(self._grid, self._table, orig, direc,
+                                     t_min, occlusion_max_t=max_t,
+                                     active=active)
+        else:
+            tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
+                              occlusion_max_t=max_t, fixed_steps=self._fixed,
+                              skip_steps=self._skip, active=active,
+                              fanout=self._fanout)
         return occ | (tb < max_t)
 
 
@@ -532,16 +582,17 @@ _EMPTY_MESHES = _Meshes.empty()
 
 jax.tree_util.register_pytree_node(
     GridTracer,
-    lambda tr: ((tr._scene, tr._grid, tr._soa),
-                (tr._fixed, tr._skip, tr._fanout)),
+    lambda tr: ((tr._scene, tr._grid, tr._soa, tr._table),
+                (tr._fixed, tr._skip, tr._fanout, tr._walk)),
     lambda aux, ch: _grid_tracer_unflatten(aux, ch))
 
 
 def _grid_tracer_unflatten(aux, children):
-    scene, grid, soa = children
+    scene, grid, soa, table = children
     obj = GridTracer.__new__(GridTracer)
     obj._scene = scene
     obj._grid = grid
     obj._soa = soa
-    obj._fixed, obj._skip, obj._fanout = aux
+    obj._table = table
+    obj._fixed, obj._skip, obj._fanout, obj._walk = aux
     return obj

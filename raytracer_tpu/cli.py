@@ -326,7 +326,7 @@ def main(argv=None):
     pr.add_argument("--grid", action="store_true",
                     help="(deprecated) alias for --tracer grid")
     pr.add_argument("--tracer", default="auto",
-                    choices=["auto", "none", "grid", "bvh", "pallas", "fused"],
+                    choices=["auto", "none", "grid", "bvh", "pallas", "grid-pallas", "fused"],
                     help="mesh winner-search backend (auto = grid when the "
                          "scene has triangles; pallas = brute-force VPU "
                          "megakernel over all triangles; fused = "

@@ -48,6 +48,10 @@ def build_tracer(scene, kind: str):
         from raytracer_tpu.ops.pallas_trace import PallasTracer
 
         return PallasTracer(scene)
+    if kind == "grid-pallas":
+        from raytracer_tpu.accel.grid import GridTracer
+
+        return GridTracer.build(scene, walk="pallas")
     raise ValueError(f"unknown tracer kind: {kind!r}")
 
 
