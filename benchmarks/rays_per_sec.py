@@ -121,11 +121,17 @@ def _bands(opts):
 
 
 def _chained_time(call, repeats=2, k=6):
-    """Per-iteration seconds via the dependency-chain slope method.
+    """Per-iteration seconds via the async dependency-chain slope.
 
     `call(eps)` must thread eps (a scalar device array, always 0) into its
-    inputs so iteration i+1 data-depends on iteration i — the only timing the
-    axon async runtime can't misreport. Returns (last_output, per_iter_s).
+    inputs so iteration i+1 data-depends on iteration i.
+
+    WARNING (measured 2026-08-19, BENCH_LOG r2-c): through the axon relay,
+    `block_until_ready` acks before real completion EVEN at the end of a
+    dependency chain, so this slope saturates at the ~0.2-0.5 ms enqueue
+    floor and under-reports real frame times by up to ~6x at 1080p+ (a 4K
+    frame "measured" faster than 540p). Kept for CPU/pod use and as a
+    diagnostic; the official TPU numbers come from _synced_time below.
     """
     zero = jnp.zeros(())
     out = call(zero)
@@ -148,6 +154,58 @@ def _chained_time(call, repeats=2, k=6):
         tk = min(tk, chain(k)[0])
     per = max((tk - t1) / (k - 1), 1e-9)
     return o, per
+
+
+def _leaf0(o):
+    return jax.tree.leaves(o)[0].ravel()[0]
+
+
+def _synced_time(call, repeats=2, n1=6, n2=24):
+    """Per-iteration seconds via readback-synced two-length chains.
+
+    The ONLY trustworthy sync through the axon relay is a real D2H readback
+    (CLAUDE.md rule 3; async acks lie — see _chained_time warning). Method:
+    pay the one-time readback transition, then time dependency chains of n1
+    and n2 frames EACH ENDING IN A SCALAR READBACK; the readback + constant
+    overheads cancel in the difference:  per = (T(n2) - T(n1)) / (n2 - n1).
+    Validated by pixel-count scaling (540p 0.87 ms vs 4K 6.29 ms per frame,
+    config2 fused d2 — proportional, as real compute must be). The result
+    INCLUDES the per-dispatch relay overhead (~0.5-1 ms day-dependent) —
+    i.e. it is the deployable per-frame latency, slightly pessimistic on
+    pure device compute.
+    """
+    zero = jnp.zeros(())
+    out = call(zero)
+    jax.block_until_ready(out)
+    float(_leaf0(out))  # one-time readback-transition (can take ~a minute)
+
+    def chain(n):
+        eps = zero
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(n):
+            o = call(eps)
+            eps = _leaf0(o) * 0.0
+        float(_leaf0(o))  # real sync
+        return time.perf_counter() - t0, o
+
+    chain(2)  # warm the sync dispatch path
+    t1 = min(chain(n1)[0] for _ in range(repeats))
+    t2, o = chain(n2)
+    for _ in range(repeats - 1):
+        t2 = min(t2, chain(n2)[0])
+    per = max((t2 - t1) / (n2 - n1), 1e-9)
+    return o, per
+
+
+def _timer():
+    """Official timing method: sync on TPU-through-axon, async elsewhere
+    (CPU block_until_ready is honest and the sync readbacks cost nothing).
+    RT_BENCH_TIMING=async|sync overrides."""
+    mode = os.environ.get("RT_BENCH_TIMING")
+    if mode is None:
+        mode = "sync" if jax.default_backend() not in ("cpu",) else "async"
+    return _synced_time if mode == "sync" else _chained_time
 
 
 def phase_fwd(config, repeats=2, with_count=False, **kw):
@@ -184,8 +242,8 @@ def _phase_fwd_timed(config, repeats=2, **kw):
         tile = (tuple(int(x) for x in tile_env.split(","))
                 if tile_env else None)
         fw = fused_mod.FusedWhitted(scene_h, cam_h, opts, tile=tile)
-        img, t_fwd = _chained_time(lambda eps: fw.render(eps=eps),
-                                   repeats=repeats)
+        img, t_fwd = _timer()(lambda eps: fw.render(eps=eps),
+                              repeats=repeats)
         float(img[0, 0, 0])  # validation readback
         return {"config": config, "width": opts.width, "height": opts.height,
                 "max_depth": opts.max_depth, "fwd_s": t_fwd, "fwd_bands": 1,
@@ -226,7 +284,7 @@ def _phase_fwd_timed(config, repeats=2, **kw):
               file=sys.stderr, flush=True)
         jax.block_until_ready(f(z, scene, cam, tracer, r0))
     print("# fwd bands warm; timing…", file=sys.stderr, flush=True)
-    out, t_fwd = _chained_time(fwd, repeats=repeats)
+    out, t_fwd = _timer()(fwd, repeats=repeats)
     img = out[0] if compact else out
     float(img[0, 0, 0])  # validation readback — async faults surface here
     if compact:
@@ -294,7 +352,7 @@ def phase_bwd(config, repeats=2, **kw):
               file=sys.stderr, flush=True)
         jax.block_until_ready(vg(p0, scene, cam, target, tracer, r0))
     print("# bwd bands warm; timing…", file=sys.stderr, flush=True)
-    (val, g), t_bwd = _chained_time(step, repeats=repeats)
+    (val, g), t_bwd = _timer()(step, repeats=repeats)
     float(val)  # validation readback — async faults surface here
     return {"fwd_bwd_s": t_bwd, "bwd_bands": len(vgs)}
 
