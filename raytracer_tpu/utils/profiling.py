@@ -58,3 +58,45 @@ def timed(fn, *args, repeats: int = 3, inner: int | None = None):
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / inner)
     return out, best
+
+
+def top_ops(trace_dir: str, k: int = 20, device_only: bool = True):
+    """Rank ops in a captured trace by total duration (descending).
+
+    Parses the .xplane.pb via jax.profiler.ProfileData — no TensorBoard
+    needed. Returns [(name, total_seconds, count)]; device_only keeps the
+    TPU/device planes (drop the python/runtime lines).
+    """
+    import collections
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    total = collections.Counter()
+    counts = collections.Counter()
+    for f in files:
+        data = jax.profiler.ProfileData.from_file(f)
+        for plane in data.planes:
+            pname = plane.name.lower()
+            if device_only and not ("tpu" in pname or "device" in pname
+                                    or "/gpu" in pname):
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    dur = (ev.end_ns - ev.start_ns) / 1e9
+                    total[ev.name] += dur
+                    counts[ev.name] += 1
+    ranked = sorted(total.items(), key=lambda kv: -kv[1])[:k]
+    return [(name, secs, counts[name]) for name, secs in ranked]
+
+
+def print_top_ops(trace_dir: str, k: int = 20, device_only: bool = True):
+    rows = top_ops(trace_dir, k=k, device_only=device_only)
+    tot = sum(r[1] for r in rows)
+    for name, secs, n in rows:
+        print(f"{secs * 1e3:10.3f} ms  x{n:<6} {name[:110]}")
+    print(f"# top-{k} total: {tot * 1e3:.2f} ms")
+    return rows
