@@ -69,26 +69,31 @@ def _workload():
 
 
 def run_envs(env_list):
-    """Time the workload under each env dict (RT_SWEEP_ENVS mode)."""
+    """Time the workload under each env dict (RT_SWEEP_ENVS mode).
+
+    RT_SWEEP_PHASE=bwd sweeps the backward phase (fwd_bwd_s) instead of fwd.
+    """
     config, extra = _workload()
+    phase = os.environ.get("RT_SWEEP_PHASE", "fwd")
+    key = "fwd_bwd_s" if phase == "bwd" else "fwd_s"
     results = []
     for env in env_list:
         tag = ",".join(f"{k}={v}" for k, v in sorted(env.items()))
         print(f"# sweep {tag}…", file=sys.stderr, flush=True)
-        res = bench._guarded("fwd", config, extra, attempts=1, env=env)
+        res = bench._guarded(phase, config, extra, attempts=1, env=env)
         if res is None:
             print(f"# {tag}: FAILED", file=sys.stderr, flush=True)
             print(json.dumps({"combo": tag, "error": "failed"}), flush=True)
             continue
         res["combo"] = tag
         results.append(res)
-        print(f"# {tag}: fwd {res['fwd_s']*1e3:.2f} ms", file=sys.stderr,
+        print(f"# {tag}: {phase} {res[key]*1e3:.2f} ms", file=sys.stderr,
               flush=True)
         print(json.dumps(res), flush=True)
-    results.sort(key=lambda r: r["fwd_s"])
+    results.sort(key=lambda r: r[key])
     print("# ==== sweep summary (fastest first) ====", file=sys.stderr)
     for r in results:
-        print(f"# {r['combo']:<48} {r['fwd_s']*1e3:8.2f} ms/band",
+        print(f"# {r['combo']:<48} {r[key]*1e3:8.2f} ms/band",
               file=sys.stderr)
 
 

@@ -71,8 +71,13 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
         opts = dataclasses.replace(opts, width=width, height=height or width)
     if max_depth is not None:
         opts = dataclasses.replace(opts, max_depth=max_depth)
+    if tile_rays is None and os.environ.get("RT_BENCH_TILE"):
+        tile_rays = int(os.environ["RT_BENCH_TILE"])  # sweep hook
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
+    if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: force remat on/off
+        opts = dataclasses.replace(
+            opts, remat_tiles=os.environ["RT_BENCH_REMAT"] == "1")
     # compacted wavefronts for glass scenes (default on; RT_BENCH_COMPACT=0
     # off, =N caps at N·n0): config3 d4 otherwise runs 31× n0 buffer lanes at
     # 5.5% occupancy (benchmarks/occupancy.py; ~6× fwd on the wavefront
