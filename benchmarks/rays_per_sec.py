@@ -326,9 +326,13 @@ def phase_bwd(config, repeats=2, **kw):
     # bands are already sized under the backward budget for the plain
     # wavefront, so per-tile remat is unnecessary — EXCEPT for glass scenes,
     # whose ray buffers double per bounce (≈2^D/(D+1)× the residual state the
-    # band formula assumes): keep remat there to bound backward memory
-    opts_b = dataclasses.replace(
-        opts, remat_tiles=scene.has_glass and opts.remat_tiles)
+    # band formula assumes): keep remat there to bound backward memory.
+    # RT_BENCH_REMAT (sweep hook, applied in _setup) overrides this policy.
+    if os.environ.get("RT_BENCH_REMAT"):
+        opts_b = opts
+    else:
+        opts_b = dataclasses.replace(
+            opts, remat_tiles=scene.has_glass and opts.remat_tiles)
     # one value_and_grad program per band height (traced row0), as in fwd
     vg_by_rows = {}
     for _, rows in bands:

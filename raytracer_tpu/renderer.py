@@ -45,13 +45,25 @@ def _fold(x, n0, pix=None):
 def _compact(state, pix, cap_lanes: int):
     """Keep the first `cap_lanes` lanes, alive-first (stable) → smaller
     buffers for the next bounce. Returns (state', pix', dropped) where
-    `dropped` counts alive lanes that did NOT fit (0 ⇒ result exact)."""
+    `dropped` counts alive lanes that did NOT fit (0 ⇒ result exact).
+
+    Sort-free: the alive-first stable permutation is two prefix sums (alive
+    lanes keep their order, then dead lanes) materialized by one int32
+    scatter. The argsort this replaces produced the IDENTICAL permutation
+    but as a full payload sort — TPU sorts cost orders of magnitude more
+    than cumsum at wavefront widths, and the sort re-ran inside the remat
+    backward, dominating the glass fwd+bwd step."""
     o, d, thr, alive = state
-    order = jnp.argsort(~alive, stable=True)[:cap_lanes]  # alive lanes first
+    n = alive.shape[0]
+    ai = alive.astype(jnp.int32)
+    n_alive = jnp.sum(ai)
+    pos = jnp.where(alive, jnp.cumsum(ai) - 1,
+                    n_alive + jnp.cumsum(1 - ai) - 1)  # stable partition slot
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)[:cap_lanes]
     order = jax.lax.stop_gradient(order)
-    kept = alive[order]
-    dropped = (jnp.sum(alive.astype(jnp.float32))
-               - jnp.sum(kept.astype(jnp.float32)))
+    kept = jnp.arange(cap_lanes) < n_alive
+    dropped = jnp.maximum(n_alive - cap_lanes, 0).astype(jnp.float32)
     return (o[order], d[order], thr[order], kept), pix[order], dropped
 
 
