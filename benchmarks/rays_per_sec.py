@@ -165,7 +165,7 @@ def _leaf0(o):
     return jax.tree.leaves(o)[0].ravel()[0]
 
 
-def _synced_time(call, repeats=2, n1=6, n2=24):
+def _synced_time(call, repeats=2, n1=None, n2=None):
     """Per-iteration seconds via readback-synced two-length chains.
 
     The ONLY trustworthy sync through the axon relay is a real D2H readback
@@ -178,6 +178,10 @@ def _synced_time(call, repeats=2, n1=6, n2=24):
     INCLUDES the per-dispatch relay overhead (~0.5-1 ms day-dependent) —
     i.e. it is the deployable per-frame latency, slightly pessimistic on
     pure device compute.
+
+    Chain lengths auto-scale to the warm-probe frame time so slow frames
+    (honest backward steps run seconds each) don't burn a 92-frame schedule
+    against the driver's phase timeout.
     """
     zero = jnp.zeros(())
     out = call(zero)
@@ -194,7 +198,15 @@ def _synced_time(call, repeats=2, n1=6, n2=24):
         float(_leaf0(o))  # real sync
         return time.perf_counter() - t0, o
 
-    chain(2)  # warm the sync dispatch path
+    t_probe, _ = chain(2)  # warm the sync dispatch path (+ frame estimate)
+    if n1 is None or n2 is None:
+        per_est = t_probe / 2
+        if per_est > 1.0:
+            n1, n2, repeats = 1, 3, 1
+        elif per_est > 0.15:
+            n1, n2, repeats = 2, 8, min(repeats, 2)
+        else:
+            n1, n2 = 6, 24
     t1 = min(chain(n1)[0] for _ in range(repeats))
     t2, o = chain(n2)
     for _ in range(repeats - 1):
