@@ -1,0 +1,66 @@
+"""Scatter-free gathers from small parameter tables.
+
+The differentiable recompute (ops/trace.surface_at) gathers per-lane rows
+from tiny scene tables — sphere centers [Ns,3], material albedos [M,3], plane
+frames [Np,3] — and the VJP of a plain `table[idx]` gather is a scatter-add
+of N≈0.5–2M lane cotangents into those few rows. XLA lowers TPU scatter with
+duplicate indices to a serialized combine, which made the wavefront backward
+60–300× the forward (BENCH_LOG r2-c; the reference genre has no backward at
+all — this cost class is ours alone, SURVEY.md §2.1 C13).
+
+`pgather(table, idx)` is bitwise-identical to `table[idx]` in the forward;
+its backward materializes the one-hot mask [N, K] and reduces
+`onehot^T @ ct` — a dense VPU/MXU reduction with no scatter. Only worth it
+for small K (the mask costs N·K); big tables (mesh vertices) keep the native
+gather, whose backward scatter is amortized over far fewer duplicate
+collisions per row.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Tables at or below this row count take the one-hot backward; above it the
+# native gather/scatter wins (mask traffic grows as N·K).
+SMALL_TABLE_ROWS = 64
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _pgather(table, idx):
+    return table[idx]
+
+
+def _pgather_fwd(table, idx):
+    return table[idx], (table.shape, idx)
+
+
+def _pgather_bwd(res, ct):
+    shape, idx = res
+    k = shape[0]
+    n = idx.shape[0]
+    # one-hot in the cotangent dtype; HIGHEST keeps the reduction f32 on MXU
+    onehot = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
+    ct2 = ct.reshape(n, -1)
+    g = jnp.einsum("nk,nc->kc", onehot.astype(ct2.dtype), ct2,
+                   precision=jax.lax.Precision.HIGHEST)
+    g = g.reshape(shape)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return g, zero_idx
+
+
+_pgather.defvjp(_pgather_fwd, _pgather_bwd)
+
+
+def pgather(table, idx):
+    """`table[idx]` with a scatter-free (one-hot reduce) VJP for small tables.
+
+    idx must be 1-D int; table rank ≥ 1. Falls back to the native gather for
+    tables larger than SMALL_TABLE_ROWS or when `table` is not a floating
+    array (int tables carry no gradient — the native gather is fine).
+    """
+    if (table.shape[0] > SMALL_TABLE_ROWS
+            or not jnp.issubdtype(table.dtype, jnp.floating)):
+        return table[idx]
+    return _pgather(table, idx)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from raytracer_tpu.core.types import (
     KIND_NONE, KIND_PLANE, KIND_SPHERE, KIND_TRIANGLE, Scene)
 from raytracer_tpu.ops import geometry as geom
+from raytracer_tpu.ops.dgather import pgather
 from raytracer_tpu.ops.safemath import cross, dot, normalize, safe_div
 
 INF = jnp.inf
@@ -206,8 +207,11 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
     if scene.spheres.count:
         m = hit.kind == KIND_SPHERE
         i = jnp.where(m, hit.idx, 0)
-        c = scene.spheres.center[i]
-        r = scene.spheres.radius[i]
+        # pgather = table[i] with a scatter-free VJP: these per-lane gathers
+        # from few-row parameter tables otherwise backward as serialized TPU
+        # scatter-adds that dominated the whole fwd+bwd step (ops/dgather.py)
+        c = pgather(scene.spheres.center, i)
+        r = pgather(scene.spheres.radius, i)
         ts = geom.sphere_t(orig, direc, c, r, t_min)
         ts = jnp.where(m, ts, 0.0)
         p = orig + ts[:, None] * direc
@@ -219,21 +223,22 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
     if scene.planes.count:
         m = hit.kind == KIND_PLANE
         i = jnp.where(m, hit.idx, 0)
-        p0 = scene.planes.point[i]
-        pn = scene.planes.normal[i]
+        p0 = pgather(scene.planes.point, i)
+        pn = pgather(scene.planes.normal, i)
         tp = geom.plane_t(orig, direc, p0, pn, t_min)
         tp = jnp.where(m, tp, 0.0)
         p = orig + tp[:, None] * direc
-        u = dot(p - p0, scene.planes.tangent[i])
-        v = dot(p - p0, scene.planes.bitangent[i])
-        s = scene.planes.checker_scale[i]
+        u = dot(p - p0, pgather(scene.planes.tangent, i))
+        v = dot(p - p0, pgather(scene.planes.bitangent, i))
+        s = pgather(scene.planes.checker_scale, i)
         fu = u * s - jnp.floor(u * s)
         fv = v * s - jnp.floor(v * s)
         pattern = (fu > 0.5) ^ (fv > 0.5)
         # SPEC: albedo_eff = c1 if pattern==0 else c2 — per-plane color pair
         # (material albedo, albedo2); the classic colors are the preset defaults.
-        mat_alb = scene.materials.albedo[scene.planes.mat_id[i]]
-        calb = jnp.where(pattern[:, None], scene.planes.albedo2[i], mat_alb)
+        mat_alb = pgather(scene.materials.albedo, scene.planes.mat_id[i])
+        calb = jnp.where(pattern[:, None], pgather(scene.planes.albedo2, i),
+                         mat_alb)
         t = jnp.where(m, tp, t)
         nrm = jnp.where(m[:, None], pn, nrm)
         mat_id = jnp.where(m, scene.planes.mat_id[i], mat_id)
@@ -274,7 +279,7 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
             fv = st[:, 1] * sc - jnp.floor(st[:, 1] * sc)
             pattern = (fu > 0.5) ^ (fv > 0.5)
             is_chk = m & (scene.meshes.checker[i] > 0)
-            mat_alb = scene.materials.albedo[scene.meshes.mat_id[i]]
+            mat_alb = pgather(scene.materials.albedo, scene.meshes.mat_id[i])
             calb = jnp.where(pattern[:, None], scene.meshes.albedo2[i],
                              mat_alb)
             checker_mask = checker_mask | is_chk
@@ -282,10 +287,12 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
 
     valid = hit.kind != KIND_NONE
     p = orig + t[:, None] * direc
-    albedo = scene.materials.albedo[mat_id]
+    albedo = pgather(scene.materials.albedo, mat_id)
     albedo = jnp.where(checker_mask[:, None], checker_albedo, albedo)
     return Surface(
         valid=valid, t=t, p=p, n=nrm, albedo=albedo,
         mtype=scene.materials.mtype[mat_id],
-        kd=scene.materials.kd[mat_id], ks=scene.materials.ks[mat_id],
-        spec_n=scene.materials.spec_n[mat_id], ior=scene.materials.ior[mat_id])
+        kd=pgather(scene.materials.kd, mat_id),
+        ks=pgather(scene.materials.ks, mat_id),
+        spec_n=pgather(scene.materials.spec_n, mat_id),
+        ior=pgather(scene.materials.ior, mat_id))
