@@ -61,17 +61,28 @@ def _synced(call, n1=2, n2=8):
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
-def probe_gather(n_rows=65536, n_iters=32, table_rows=80000):
+WIDTHS = ((1, jnp.uint8, "occ_1B"),
+          (12, jnp.float32, "row_48B"),
+          (40, jnp.float32, "row_160B"),
+          (120, jnp.float32, "row_480B"))
+# the measured curve is FLAT in row bytes to 480B (~8.5-10.6 ns/row,
+# latency-bound); these probe where bandwidth finally bites (~7KB at
+# 8.5ns x 800GB/s) — that bound sets how fat grid cells can get
+WIDE_WIDTHS = ((240, jnp.float32, "row_960B"),
+               (480, jnp.float32, "row_1920B"),
+               (960, jnp.float32, "row_3840B"),
+               (1920, jnp.float32, "row_7680B"))
+
+
+def probe_gather(n_rows=65536, n_iters=32, table_rows=80000, widths=WIDTHS,
+                 same_idx=True):
     """A/B/D: chained gathers (each iteration's indices depend on the prior
     gather so XLA cannot batch iterations) across row widths."""
     print(f"# gather probe: N={n_rows} iters={n_iters} table={table_rows}",
           file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     idx0 = jnp.asarray(rng.integers(0, table_rows, n_rows, dtype=np.int32))
-    for width, dtype, tag in ((1, jnp.uint8, "occ_1B"),
-                              (12, jnp.float32, "row_48B"),
-                              (40, jnp.float32, "row_160B"),
-                              (120, jnp.float32, "row_480B")):
+    for width, dtype, tag in widths:
         table = jnp.asarray(
             rng.standard_normal((table_rows, width)).astype(np.float32)
             if dtype == jnp.float32 else
@@ -97,6 +108,8 @@ def probe_gather(n_rows=65536, n_iters=32, table_rows=80000):
                           "ns_per_row": round(ns_row, 2),
                           "eff_gbps": round(gbps, 2)}), flush=True)
 
+    if not same_idx:
+        return
     # D: all-identical indices (parked lanes) at 480B
     table = jnp.asarray(rng.standard_normal((table_rows, 120)).astype(np.float32))
 
@@ -145,6 +158,11 @@ def probe_loop_overhead(n_rows=65536, n_iters=64):
 
 def main():
     print(f"# backend: {jax.default_backend()}", file=sys.stderr, flush=True)
+    if os.environ.get("RT_PROBE_WIDE") == "1":
+        # wide-row mode only: where does the flat latency curve end?
+        probe_gather(n_rows=65536, table_rows=20000, widths=WIDE_WIDTHS,
+                     same_idx=False)
+        return
     probe_loop_overhead()
     for n in (16384, 65536, 262144):
         probe_gather(n_rows=n)
