@@ -78,14 +78,16 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: force remat on/off
         opts = dataclasses.replace(
             opts, remat_tiles=os.environ["RT_BENCH_REMAT"] == "1")
-    # compacted wavefronts for glass scenes (default on; RT_BENCH_COMPACT=0
-    # off, =N caps at N·n0): config3 d4 otherwise runs 31× n0 buffer lanes at
-    # 5.5% occupancy (benchmarks/occupancy.py; ~6× fwd on the wavefront
-    # path). Exactness asserted post-timing via the dropped-lane counter.
+    # compacted wavefronts (default on for glass; RT_BENCH_COMPACT=0 off,
+    # =N caps at N·n0, fractional N<1 shrinks single-child wavefronts too):
+    # config3 d4 otherwise runs 31× n0 buffer lanes at 5.5% occupancy
+    # (benchmarks/occupancy.py; ~6× fwd on the wavefront path); mesh scenes'
+    # bounce≥1 walks pay ~10 ns/gather-row for parked lanes (BENCH_LOG r2-d).
+    # Exactness asserted post-timing via the dropped-lane counter.
     comp = os.environ.get("RT_BENCH_COMPACT", "")
     cap = (1 if scene.has_glass else None) if comp == "" else \
-        (None if comp == "0" else int(comp))
-    if cap is not None and scene.has_glass:
+        (None if comp == "0" else float(comp))
+    if cap is not None and (scene.has_glass or cap < 1):
         opts = dataclasses.replace(opts, compact_cap=cap)
     tracer = None
     if tracer_kind is None:

@@ -112,9 +112,10 @@ def cmd_render(args):
               f"compile)")
         _save(args.out, img)
         return
-    if args.compact and scene.has_glass:
+    if args.compact:
         opts = dataclasses.replace(opts, compact_cap=args.compact)
-    compact = opts.compact_cap is not None and scene.has_glass
+    from raytracer_tpu.renderer import use_compact
+    compact = use_compact(scene, opts)
     tracer = build_tracer(scene, kind)
     from raytracer_tpu.renderer import render_banded, render_ssaa
 
@@ -334,8 +335,8 @@ def main(argv=None):
                          "meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
-    pr.add_argument("--compact", type=int, default=0,
-                    help="wavefront lane compaction cap (glass scenes): keep "
+    pr.add_argument("--compact", type=float, default=0,
+                    help="wavefront lane compaction cap: keep "
                          "at most N x primary-ray lanes per bounce instead "
                          "of doubling buffers — ~5x faster on config3; "
                          "warns if any alive lane is dropped")

@@ -308,9 +308,13 @@ class RenderOptions:
     tile_rays: int = 16384   # wavefront tile size (primary rays per device step)
     remat_tiles: bool = True  # jax.checkpoint per tile (bounded backward memory)
     tri_chunk: int = 1024    # triangles per inner scan step in the jnp trace
-    compact_cap: int | None = None  # wavefront lane compaction: cap the ray
+    compact_cap: float | None = None  # wavefront lane compaction: cap the ray
     # buffer at compact_cap×(primary rays) per bounce, keeping alive lanes
     # (glass scenes otherwise DOUBLE the buffer per bounce while occupancy
     # craters — measured 5.5% weighted on config3 d4, benchmarks/occupancy).
+    # FRACTIONAL caps (<1) also compact single-child wavefronts: from bounce 1
+    # only specular children are alive, but parked lanes still pay full
+    # gather rows in the grid/BVH walks (~10 ns/row regardless — BENCH_LOG
+    # r2-d cost model), so shrinking the buffer multiplies walk throughput.
     # Exact iff no alive lane overflows the cap — render() then returns the
     # dropped-lane count for the caller to check (see renderer.render).

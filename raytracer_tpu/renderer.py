@@ -31,6 +31,23 @@ from raytracer_tpu.ops.safemath import clamp01, normalize
 from raytracer_tpu.ops.trace import nearest_hit, surface_at
 
 
+def use_compact(scene: Scene, opts: RenderOptions) -> bool:
+    """Does this (scene, opts) pair run compacted wavefronts?
+
+    Glass scenes compact to stop the per-bounce buffer doubling; fractional
+    caps (<1) additionally compact single-child wavefronts — from bounce 1
+    only specular children live, and the walk tracers pay ~10 ns per gather
+    ROW for parked lanes regardless (BENCH_LOG r2-d), so fewer lanes is the
+    lever."""
+    return opts.compact_cap is not None and (scene.has_glass
+                                             or opts.compact_cap < 1)
+
+
+def _cap_lanes(cap: float, n0: int) -> int:
+    """Static lane budget for a compacted wavefront (8-lane aligned)."""
+    return max(8, _ceil_to(int(round(cap * n0)), 8))
+
+
 def _fold(x, n0, pix=None):
     """[k·n0, C] buffer → per-pixel [n0, C] by summing the k child slots.
 
@@ -189,9 +206,10 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
              jnp.ones((n0,), bool))
     traced = jnp.zeros((), jnp.float32)
     # compacted-wavefront mode: cap buffers at compact_cap·n0 lanes per bounce
-    # (only glass scenes ever exceed n0). Measured config3 d4: 31× n0 lane
-    # work at 5.5% occupancy without it (benchmarks/occupancy.py).
-    compact = opts.compact_cap is not None and scene.has_glass
+    # (glass scenes double per bounce; fractional caps shrink single-child
+    # wavefronts too). Measured config3 d4: 31× n0 lane work at 5.5%
+    # occupancy without it (benchmarks/occupancy.py).
+    compact = use_compact(scene, opts)
     pix = jnp.arange(n0, dtype=jnp.int32) if compact else None
     dropped = jnp.zeros((), jnp.float32)
 
@@ -205,7 +223,7 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
         traced = traced + inc
         if compact and state is not None:
             *state, pix = state
-            cap = opts.compact_cap * n0
+            cap = _cap_lanes(opts.compact_cap, n0)
             if state[0].shape[0] > cap:
                 with jax.named_scope("compact_wavefront"):
                     state, pix, drop = _compact(tuple(state), pix, cap)
@@ -246,7 +264,7 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
                                     (n_pad - n_pix, 3))])
     dirs = dirs.reshape(-1, tile, 3)
     orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
-    compact = opts.compact_cap is not None and scene.has_glass
+    compact = use_compact(scene, opts)
 
     if dirs.shape[0] == 1:
         # single tile: skip the scan wrapper (simpler graph, faster compile)
@@ -316,7 +334,7 @@ def render_banded(scene: Scene, camera: Camera, opts: RenderOptions,
     """
     band_rows = _auto_band_rows(scene, opts) if band_rows is None else \
         min(band_rows, opts.height)
-    compact = opts.compact_cap is not None and scene.has_glass
+    compact = use_compact(scene, opts)
     imgs, traced = [], jnp.zeros((), jnp.float32)
     dropped = jnp.zeros((), jnp.float32)
     for r0 in range(0, opts.height, band_rows):
@@ -361,7 +379,7 @@ def render_ssaa(scene: Scene, camera: Camera, opts: RenderOptions,
         else:
             band_rows = opts.height
     band_rows = min(band_rows, opts.height)
-    compact = opts.compact_cap is not None and scene.has_glass
+    compact = use_compact(scene, opts)
     imgs, traced = [], jnp.zeros((), jnp.float32)
     dropped = jnp.zeros((), jnp.float32)
     for r0 in range(0, opts.height, band_rows):

@@ -72,6 +72,39 @@ def test_compact_gradients_match(cornell):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_fractional_compact_mirror_scene():
+    """Fractional caps compact single-child (non-glass) wavefronts: a small
+    mirror sphere leaves most bounce-1 lanes dead, so cap=0.5 is exact
+    (dropped==0) and matches the uncompacted image; a cap below the alive
+    fraction must report drops."""
+    from raytracer_tpu.models.presets import _mats
+    from raytracer_tpu.core.types import REFLECTION
+
+    mats = _mats(
+        [(REFLECTION, (0, 0, 0), 0.0, 0.0, 25.0, 1.0),
+         (DIFFUSE_AND_GLOSSY, (0.5, 0.3, 0.2), 0.8, 0.1, 10.0, 1.3)])
+    scene = make_scene(
+        spheres=Spheres.build([(0.0, 0.0, -6.0)], [1.0], [0]),
+        planes=Planes.build([(0.0, -2.0, 0.0)], [(0.0, 1.0, 0.0)],
+                            [(1.0, 0.0, 0.0)], [(0.0, 0.0, 1.0)], [1]),
+        materials=mats,
+        lights=Lights.build([(0.0, 6.0, 0.0)], [(1.0, 1.0, 1.0)]))
+    cam = Camera.build(pos=(0.0, 0.0, 1.0), fov_deg=50.0)
+    base = RenderOptions(width=32, height=32, max_depth=2, tile_rays=1024)
+    ref, n_ref = jax.jit(
+        lambda s, c: render(s, c, base, count_rays=True))(scene, cam)
+    oc = dataclasses.replace(base, compact_cap=0.5)
+    img, n, drop = jax.jit(
+        lambda s, c: render(s, c, oc, count_rays=True))(scene, cam)
+    assert float(drop) == 0.0
+    assert float(n) == float(n_ref)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+    # starving cap: mirror covers more lanes than 8/1024
+    tiny = dataclasses.replace(base, compact_cap=1 / 1024)
+    _, _, drop2 = jax.jit(lambda s, c: render(s, c, tiny))(scene, cam)
+    assert float(drop2) > 0.0
+
+
 def test_compact_overflow_reported():
     """A frame-filling glass sphere spawns 2 alive children per pixel at
     bounce 0 — cap=1 must DROP lanes and say so (cap=2 must not)."""
