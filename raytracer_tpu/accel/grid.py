@@ -504,20 +504,28 @@ class GridTracer:
 
         # env overrides so perf sweeps (benchmarks/) can tune the build
         # without plumbing flags through every harness. Defaults = the
-        # benchmarks/grid_sweep.py winner on TPU v5e (BASELINE.md):
-        # capacity 12 / density 8 / pregather on = 0.28 ms vs 0.55 ms for the
-        # old 16/4/off on the config4 1920x270 d4 band.
+        # benchmarks/grid_sweep.py winner under HONEST sync timing (BENCH_LOG
+        # r2-d, config4 1920x135 d4 band): capacity 128 / density 0.125 /
+        # pregather on = 1.53 s vs 7.40 s for the old async-tuned 12/8/on
+        # (4.8x, reproducible to 0.1%). Why coarse+fat wins: the walk is
+        # ROW-latency-bound (~10 ns per gathered row, FLAT in row bytes to
+        # ~1 KB, sublinear to ~8 KB), so a 14^3-ish grid with ~5 KB cell rows
+        # buys ~4x fewer DDA iterations at ~3x the per-row price. Both
+        # coarser (256/0.03) and fatter (192/0.125) measured worse.
         if pregather is None:
             pregather = os.environ.get("RT_GRID_PREGATHER", "1") \
                 not in ("", "0")
         if capacity is None:
-            capacity = int(os.environ.get("RT_GRID_CAPACITY", 12))
+            capacity = int(os.environ.get("RT_GRID_CAPACITY", 128))
         if density is None:
-            # density 8 WITHOUT pregather is a known kernel-faulting program
-            # shape on this TPU stack (CLAUDE.md) — the knobs were co-tuned,
-            # so a lone pregather-off falls back to the safe density 4
+            # the old fine-grid default (12/8) WITHOUT pregather is a known
+            # kernel-faulting program shape on this TPU stack (CLAUDE.md) —
+            # the knobs were co-tuned, so pregather-off falls back to the
+            # safe fine density 4 with its matching capacity
             density = float(os.environ.get("RT_GRID_DENSITY",
-                                           8.0 if pregather else 4.0))
+                                           0.125 if pregather else 4.0))
+        if not pregather and "RT_GRID_CAPACITY" not in os.environ:
+            capacity = 16
         if res is None and os.environ.get("RT_GRID_RES"):
             res = tuple(int(x) for x in os.environ["RT_GRID_RES"].split(","))
         grid = build_grid(np.asarray(scene.meshes.verts),

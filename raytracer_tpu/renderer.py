@@ -262,9 +262,20 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         dirs = jnp.concatenate(
             [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
                                     (n_pad - n_pix, 3))])
-    dirs = dirs.reshape(-1, tile, 3)
-    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
     compact = use_compact(scene, opts)
+    strided = compact and n_pad > tile
+    if strided:
+        # stride-interleaved tiles: slot j of tile k is pixel j·ntiles + k,
+        # so every tile samples the frame uniformly. Contiguous tiles would
+        # concentrate a specular object into few tiles and blow any
+        # fractional compact_cap there even when the FRAME's alive fraction
+        # is far below it; striding makes per-tile occupancy ≈ frame
+        # occupancy (binomial noise only at wavefront widths). Reassembly
+        # transposes back below; radiance values are identical per pixel.
+        dirs = dirs.reshape(tile, -1, 3).transpose(1, 0, 2)
+    else:
+        dirs = dirs.reshape(-1, tile, 3)
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
 
     if dirs.shape[0] == 1:
         # single tile: skip the scan wrapper (simpler graph, faster compile)
@@ -290,6 +301,8 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         carry0 = (zero, zero) if compact else zero
         carry, rad = jax.lax.scan(tile_fn, carry0, dirs)
         traced, dropped = carry if compact else (carry, None)
+        if strided:
+            rad = rad.transpose(1, 0, 2)  # [tile, ntiles, 3] → pixel order
     img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(rows, w, 3)
     if compact:
         return img, traced, dropped
