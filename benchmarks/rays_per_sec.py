@@ -85,8 +85,12 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     # bounce≥1 walks pay ~10 ns/gather-row for parked lanes (BENCH_LOG r2-d).
     # Exactness asserted post-timing via the dropped-lane counter.
     comp = os.environ.get("RT_BENCH_COMPACT", "")
-    cap = (1 if scene.has_glass else None) if comp == "" else \
-        (None if comp == "0" else float(comp))
+    if comp == "":
+        cap = 1 if scene.has_glass else None
+    else:
+        cap = float(comp)
+        if cap <= 0:  # any non-positive value disables compaction
+            cap = None
     if cap is not None and (scene.has_glass or cap < 1):
         opts = dataclasses.replace(opts, compact_cap=cap)
     tracer = None

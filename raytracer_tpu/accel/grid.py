@@ -515,6 +515,7 @@ class GridTracer:
         if pregather is None:
             pregather = os.environ.get("RT_GRID_PREGATHER", "1") \
                 not in ("", "0")
+        capacity_defaulted = capacity is None
         if capacity is None:
             capacity = int(os.environ.get("RT_GRID_CAPACITY", 128))
         if density is None:
@@ -524,7 +525,8 @@ class GridTracer:
             # safe fine density 4 with its matching capacity
             density = float(os.environ.get("RT_GRID_DENSITY",
                                            0.125 if pregather else 4.0))
-        if not pregather and "RT_GRID_CAPACITY" not in os.environ:
+        if (not pregather and capacity_defaulted
+                and "RT_GRID_CAPACITY" not in os.environ):
             capacity = 16
         if res is None and os.environ.get("RT_GRID_RES"):
             res = tuple(int(x) for x in os.environ["RT_GRID_RES"].split(","))

@@ -17,10 +17,11 @@ seed + slab entry + first cell) comes from the shared
 Data layout:
 - per-ray walk state rides as [n_blocks, BR] planes (one row per block,
   lane-major so the VPU sees 128-lane rows);
-- the pregathered cell table is repacked [ncells, 128] f32 (C·10 ≤ 120
-  columns of v0|e1|e2|id per listed triangle slot, zero-padded) and stays in
-  HBM; each iteration DMAs one row per ACTIVE lane into a VMEM scratch
-  block, then evaluates all C candidates as lane-major row vectors.
+- the pregathered cell table is repacked [ncells, R·128] f32 rows
+  (R = ceil(C·10/128); columns of v0|e1|e2|id per listed triangle slot,
+  zero-padded) and stays in HBM; each iteration DMAs one contiguous row per
+  ACTIVE lane into a VMEM scratch block, then evaluates all C candidates as
+  lane-major row vectors.
 
 Why this is NOT the shipping default (measured; docs/ARCH.md "Why the DDA
 walk stays in XLA"): the candidate fetch is a per-lane scattered row read.
@@ -59,19 +60,21 @@ def _cdiv(a, b):
 
 
 def pack_cell_table(grid: grid_mod.GridData) -> jax.Array:
-    """cell_soa [ncells, C, 10] → [ncells, 128] f32 rows (zero-padded).
+    """cell_soa [ncells, C, 10] → [ncells, R·128] f32 rows (zero-padded),
+    R = ceil(C·10 / 128).
 
-    Requires the pregathered 10-column build (the shipping default) and
-    C·10 ≤ 128.
-    """
+    Requires the pregathered 10-column build (the shipping default). Any
+    capacity works: a cell's candidates pack into R consecutive 128-lane
+    sublanes fetched by ONE contiguous DMA per lane per iteration, so the
+    walk twin keeps running on the same grid as the XLA path after the
+    r2-d coarse-grid re-tune (capacity 128 → R=10)."""
     soa = grid.cell_soa
     assert soa is not None and soa.shape[-1] == 10, \
         "pallas walk needs the pregathered 10-col cell_soa (RT_GRID_PREGATHER=1)"
     ncells, cap, _ = soa.shape
     row = soa.reshape(ncells, cap * 10)
-    assert row.shape[1] <= 128, \
-        f"capacity {cap} too large for one 128-lane row (cap*10 <= 128)"
-    out = jnp.zeros((ncells, 128), jnp.float32)
+    width = _cdiv(cap * 10, 128) * 128
+    out = jnp.zeros((ncells, width), jnp.float32)
     return out.at[:, :row.shape[1]].set(row)
 
 
@@ -106,14 +109,14 @@ def _mt_rows(o, d, v0, e1, e2, t_min):
 
 
 def _make_walk_kernel(res, capacity: int, n_tris: int, t_min: float,
-                      max_iters: int, br: int, occlusion: bool):
+                      max_iters: int, br: int, occlusion: bool, width: int):
     nx, ny, nz = res
 
     def kernel(ox, oy, oz, dx, dy, dz, cx0, cy0, cz0, tmx0, tmy0, tmz0,
                sx, sy, sz, tdx, tdy, tdz, act0, bt0, bi0, mx0,
                soa_hbm, t_out, i_out,
                cand, cid_vmem, sem):
-        # all row refs are [1, BR]; cand [BR, 128] VMEM scratch.
+        # all row refs are [1, BR]; cand [BR, width] VMEM scratch.
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
         step = (sx[:], sy[:], sz[:])
@@ -202,14 +205,14 @@ def _make_walk_kernel(res, capacity: int, n_tris: int, t_min: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "res", "capacity", "n_tris", "t_min", "max_iters", "br", "occlusion",
-    "interpret"))
+    "width", "interpret"))
 def _walk_call(planes, table, *, res, capacity, n_tris, t_min, max_iters,
-               br, occlusion, interpret):
+               br, occlusion, width, interpret):
     nb = planes[0].shape[0]
     row = pl.BlockSpec((1, br), lambda i: (i, 0), memory_space=pltpu.VMEM)
     t_out, i_out = pl.pallas_call(
         _make_walk_kernel(res, capacity, n_tris, t_min, max_iters, br,
-                          occlusion),
+                          occlusion, width),
         grid=(nb,),
         in_specs=[row] * len(planes) + [
             pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -217,7 +220,7 @@ def _walk_call(planes, table, *, res, capacity, n_tris, t_min, max_iters,
         out_shape=(jax.ShapeDtypeStruct((nb, br), jnp.float32),
                    jax.ShapeDtypeStruct((nb, br), jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((br, 128), jnp.float32),   # candidate rows
+            pltpu.VMEM((br, width), jnp.float32),  # candidate rows
             pltpu.VMEM((1, br), jnp.int32),        # cid staging (scalar reads)
             pltpu.SemaphoreType.DMA,
         ],
@@ -238,6 +241,12 @@ def pallas_grid_walk(grid: grid_mod.GridData, table, orig, direc, t_min,
         grid, orig, direc, t_min, active)
     nx, ny, nz = grid.res
     max_iters = nx + ny + nz + 2
+
+    # wide cell rows (post r2-d cap-128 re-tune: 10×128 f32 = 5 KB/cell)
+    # shrink the ray block so the candidate scratch stays ≤ ~2.6 MB VMEM
+    width = table.shape[1]
+    while br > 128 and br * width * 4 > (1 << 22):
+        br //= 2
 
     np_ = _cdiv(n, br) * br
     nb = np_ // br
@@ -265,5 +274,6 @@ def pallas_grid_walk(grid: grid_mod.GridData, table, orig, direc, t_min,
     t_out, i_out = _walk_call(
         tuple(planes), table, res=grid.res, capacity=grid.capacity,
         n_tris=grid.n_tris, t_min=float(t_min), max_iters=max_iters, br=br,
-        occlusion=occlusion_max_t is not None, interpret=interpret)
+        occlusion=occlusion_max_t is not None, width=width,
+        interpret=interpret)
     return t_out.reshape(-1)[:n], i_out.reshape(-1)[:n]
