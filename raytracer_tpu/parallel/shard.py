@@ -66,17 +66,26 @@ def build_sharded_accel(scene: Scene, n_prims: int, leaf_size: int = 8):
 
 def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
                    ring: bool = False, count_rays: bool = False,
-                   accel: str | None = None):
-    """Full-image render on a Mesh('tiles','prims') → (image, rays_traced).
+                   accel: str | None = None, tracer=None):
+    """Full-image render on a Mesh('tiles','prims') → (image, rays_traced)
+    (+ dropped-lane count when the compacted-wavefront mode is active).
 
     accel='bvh' builds one BVH per primitive shard on the host (stacked
     arrays sharded over 'prims'; accel.bvh.build_stacked_bvh) so the per-rank
     winner search walks a tree instead of brute-scanning its triangle chunk —
     the ring variant rotates the trees around the ICI ring with the geometry.
+
+    tracer: a replicated pytree tracer (e.g. accel.grid.GridTracer — the
+    config4 headline backend) used verbatim on every rank instead of the
+    ShardTracer/RingTracer winner search: pure pixel-tile DP with the accel
+    structure broadcast. This is how the grid path gets a distributed
+    correctness artifact (VERDICT r2 ask #7).
     """
     from raytracer_tpu.core.types import as_jax
+    from raytracer_tpu.renderer import use_compact
 
     scene = as_jax(scene)
+    compact = use_compact(scene, opts)
     camera = as_jax(camera)
     n_tiles = mesh.shape["tiles"]
     n_prims = mesh.shape["prims"]
@@ -113,36 +122,52 @@ def render_sharded(scene: Scene, camera: Camera, opts: RenderOptions, mesh,
     in_specs = (P("tiles", None), tr.geom_pspec("prims"), P(), P())
     if accel_arrs is not None:
         in_specs = in_specs + (tr.accel_pspec("prims"),)
+    if tracer is not None:
+        in_specs = in_specs + (P(),)  # prefix spec: replicate every leaf
+    out_specs = (P("tiles", None), P()) + ((P(),) if compact else ())
 
     # check_vma=False: the min-combine (all_gather/psum/ring fold) makes the
     # radiance provably equal across 'prims', but the static varying-axes
     # checker cannot infer that.
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=(P("tiles", None), P()), check_vma=False)
-    def body(dirs_shard, g_shard, scene_rep, cam_pos, *maybe_accel):
-        acc = maybe_accel[0] if maybe_accel else None
-        if ring:
-            tracer = tr.RingTracer(g_shard, "prims", sizes, n_prims,
-                                   accel=acc, accel_meta=accel_meta)
+             out_specs=out_specs, check_vma=False)
+    def body(dirs_shard, g_shard, scene_rep, cam_pos, *extra):
+        extra = list(extra)
+        acc = extra.pop(0) if accel_arrs is not None else None
+        if tracer is not None:
+            rank_tracer = extra.pop(0)
+        elif ring:
+            rank_tracer = tr.RingTracer(g_shard, "prims", sizes, n_prims,
+                                        accel=acc, accel_meta=accel_meta)
         else:
-            tracer = tr.ShardTracer(g_shard, "prims", sizes,
-                                    accel=acc, accel_meta=accel_meta)
+            rank_tracer = tr.ShardTracer(g_shard, "prims", sizes,
+                                         accel=acc, accel_meta=accel_meta)
         orig = jnp.broadcast_to(cam_pos, (inner, 3))
         tiles = dirs_shard.reshape(-1, inner, 3)
+        zero = jnp.zeros((), jnp.float32)
 
         def tile_fn(carry, td):
-            rad, n = render_rays(scene_rep, orig, td, opts,
-                                 count_rays=count_rays, tracer=tracer)
-            return carry + n, rad
+            out = render_rays(scene_rep, orig, td, opts,
+                              count_rays=count_rays, tracer=rank_tracer)
+            if compact:
+                rad, n, drop = out
+                return (carry[0] + n, carry[1] + drop), rad
+            rad, n = out
+            return (carry[0] + n, carry[1]), rad
 
-        traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32), tiles)
+        (traced, dropped), rad = jax.lax.scan(tile_fn, (zero, zero), tiles)
         # every prim-shard traces the same ray lanes → sum tiles only
         traced = jax.lax.psum(traced, "tiles")
+        if compact:
+            return (rad.reshape(-1, 3), traced,
+                    jax.lax.psum(dropped, "tiles"))
         return rad.reshape(-1, 3), traced
 
     args = (dirs, g_full, scene, camera.pos)
     if accel_arrs is not None:
         args = args + (accel_arrs,)
-    rad, traced = body(*args)
-    img = clamp01(rad[:n_pix]).reshape(h, w, 3)
-    return img, traced
+    if tracer is not None:
+        args = args + (tracer,)
+    out = body(*args)
+    img = clamp01(out[0][:n_pix]).reshape(h, w, 3)
+    return (img,) + tuple(out[1:])

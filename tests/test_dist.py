@@ -64,6 +64,42 @@ def test_sharded_mesh_scene(ref_img):
     np.testing.assert_allclose(ring, ref, atol=1e-6)
 
 
+def test_sharded_grid_tracer_equals_single():
+    """The config4 headline backend (GridTracer) as a replicated pytree
+    under shard_map pixel-tile DP == the single-device grid render."""
+    from raytracer_tpu.accel.grid import GridTracer
+    from raytracer_tpu.io import meshgen
+    from raytracer_tpu.core.types import Meshes
+
+    scene, cam, opts = presets.config4_mesh(use_obj=False)
+    verts, tris = meshgen.bumpy_sphere(subdiv=3, radius=1.3)
+    verts = verts + np.array([0.0, -0.1, -5.5], np.float32)
+    scene = scene.replace(meshes=Meshes.build(
+        verts, tris, np.zeros((tris.shape[0],), np.int32),
+        normals=meshgen.vertex_normals(verts, tris)))
+    opts = dataclasses.replace(opts, width=64, height=40, max_depth=2,
+                               tile_rays=256)
+    tracer = GridTracer.build(scene)
+    ref = np.asarray(render(scene, cam, opts, tracer=tracer)[0])
+    mesh = make_rt_mesh(tiles=4, prims=2)
+    img = np.asarray(render_sharded(scene, cam, opts, mesh, tracer=tracer)[0])
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_sharded_compacted_glass_equals_single():
+    """Compacted glass wavefronts (opts.compact_cap) under shard_map: image
+    matches the single-device compacted render, zero dropped lanes both
+    sides (the exactness counter render_rays carries)."""
+    scene, cam, opts = presets.config3_cornell()
+    opts = dataclasses.replace(opts, width=32, height=24, max_depth=3,
+                               tile_rays=256, compact_cap=1)
+    simg, _, sdrop = render(scene, cam, opts)
+    mesh = make_rt_mesh(tiles=4, prims=2)
+    dimg, _, ddrop = render_sharded(scene, cam, opts, mesh)
+    assert float(sdrop) == 0.0 and float(ddrop) == 0.0
+    np.testing.assert_allclose(np.asarray(dimg), np.asarray(simg), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_sharded_grads_equal_unsharded(scene_small):
     scene, cam, opts = scene_small
