@@ -78,6 +78,12 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: force remat on/off
         opts = dataclasses.replace(
             opts, remat_tiles=os.environ["RT_BENCH_REMAT"] == "1")
+    if os.environ.get("RT_BENCH_LIGHTS"):  # sweep hook: truncate light count
+        # (cost ATTRIBUTION only — image changes; never set for record runs)
+        nl = int(os.environ["RT_BENCH_LIGHTS"])
+        scene = scene.replace(lights=dataclasses.replace(
+            scene.lights, pos=scene.lights.pos[:nl],
+            intensity=scene.lights.intensity[:nl]))
     # compacted wavefronts (default on for glass; RT_BENCH_COMPACT=0 off,
     # =N caps at N·n0, fractional N<1 shrinks single-child wavefronts too):
     # config3 d4 otherwise runs 31× n0 buffer lanes at 5.5% occupancy

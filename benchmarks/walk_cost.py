@@ -23,7 +23,6 @@ Quick:       RT_WALK_COST_QUICK=1 python -m benchmarks.walk_cost
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -40,26 +39,15 @@ except Exception:
     pass
 
 
-def _synced(call, n1=1, n2=4):
-    zero = jnp.zeros((), jnp.float32)
-    out = call(zero)
-    jax.block_until_ready(out)
-    float(np.asarray(out).ravel()[0])
+def _synced(call):
+    # The first cut of this probe used 1-vs-4 chains and produced mostly
+    # 0.0 ms rows (sub-ms walks lost in the ~5-20 ms readback noise —
+    # /tmp/r3_walk_cost.out, 2026-08-20). Delegate to the validated
+    # auto-scaling sync timer instead: 6-vs-24 chains for fast calls.
+    from benchmarks.rays_per_sec import _synced_time
 
-    def chain(n):
-        eps = zero
-        t0 = time.perf_counter()
-        o = out
-        for _ in range(n):
-            o = call(eps)
-            eps = o.ravel()[0] * 0.0
-        float(np.asarray(o).ravel()[0])
-        return time.perf_counter() - t0
-
-    chain(1)
-    t1 = min(chain(n1) for _ in range(2))
-    t2 = min(chain(n2) for _ in range(2))
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    _, per = _synced_time(call, repeats=3)
+    return per
 
 
 def main():
