@@ -64,3 +64,40 @@ def pgather(table, idx):
             or not jnp.issubdtype(table.dtype, jnp.floating)):
         return table[idx]
     return _pgather(table, idx)
+
+
+@jax.custom_vjp
+def permute_take(x, order, pos):
+    """`x[order]` where `order` is an injective lane permutation-prefix.
+
+    The wavefront compaction (renderer._compact) keeps `cap` of `n` lanes via
+    `x[order]`; the native VJP of that gather is a scatter-add of the [cap]
+    cotangents into [n] rows — the serialized-TPU-scatter price measured at
+    ~172 ms per 2M-row buffer (BENCH_LOG r3-c scatter table). But compaction
+    already computes the INVERSE map for free: `pos[i]` is the slot lane i
+    was sent to (order[pos[i]] == i whenever pos[i] < cap). Because `order`
+    is injective, the transpose of the gather is itself a gather:
+    `g[i] = ct[pos[i]] if pos[i] < cap else 0`. No scatter anywhere.
+
+    Contract: order.shape = [cap], pos.shape = [n] = x.shape[0], and
+    order[pos[i]] == i for every lane with pos[i] < cap (callers build both
+    from the same prefix-sum). order/pos are index data (no gradient).
+    """
+    return x[order]
+
+
+def _permute_take_fwd(x, order, pos):
+    return x[order], (pos, order.shape[0])
+
+
+def _permute_take_bwd(res, ct):
+    pos, cap = res
+    kept = pos < cap
+    safe = jnp.where(kept, pos, 0)
+    g = ct[safe]
+    g = jnp.where(kept.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0)
+    return (g, np.zeros((cap,), dtype=jax.dtypes.float0),
+            np.zeros(pos.shape, dtype=jax.dtypes.float0))
+
+
+permute_take.defvjp(_permute_take_fwd, _permute_take_bwd)

@@ -70,6 +70,8 @@ def _compact(state, pix, cap_lanes: int):
     but as a full payload sort — TPU sorts cost orders of magnitude more
     than cumsum at wavefront widths, and the sort re-ran inside the remat
     backward, dominating the glass fwd+bwd step."""
+    from raytracer_tpu.ops.dgather import permute_take
+
     o, d, thr, alive = state
     n = alive.shape[0]
     ai = alive.astype(jnp.int32)
@@ -79,9 +81,14 @@ def _compact(state, pix, cap_lanes: int):
     order = jnp.zeros((n,), jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32), unique_indices=True)[:cap_lanes]
     order = jax.lax.stop_gradient(order)
+    pos = jax.lax.stop_gradient(pos)
     kept = jnp.arange(cap_lanes) < n_alive
     dropped = jnp.maximum(n_alive - cap_lanes, 0).astype(jnp.float32)
-    return (o[order], d[order], thr[order], kept), pix[order], dropped
+    # permute_take == x[order] in the forward; its VJP is a gather by the
+    # inverse map `pos` instead of the native scatter-add of [cap] cotangents
+    # into [n] rows (~172 ms per 2M-row buffer on TPU — BENCH_LOG r3-c)
+    return (permute_take(o, order, pos), permute_take(d, order, pos),
+            permute_take(thr, order, pos), kept), pix[order], dropped
 
 
 def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,

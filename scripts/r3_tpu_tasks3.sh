@@ -65,6 +65,13 @@ run c2_bwd_noremat 1800 env RT_BENCH_REMAT=0 \
     python -m benchmarks.rays_per_sec --phase bwd --config config2 \
     --width 1920 --height 1080 --depth 2
 
+# 4b. config3 bwd with the permute_take compaction VJP (scatter-free
+#     backward through _compact), alone and with remat off.
+run c3_bwd_permvjp 1800 \
+    python -m benchmarks.rays_per_sec --phase bwd --config config3
+run c3_bwd_permvjp_noremat 1800 env RT_BENCH_REMAT=0 \
+    python -m benchmarks.rays_per_sec --phase bwd --config config3
+
 # 5. walk_cost re-run with the fixed auto-scaling sync timer (first run's
 #    1-vs-4 chains were noise: most rows 0.0 ms).
 run walk_cost2 3600 python -m benchmarks.walk_cost

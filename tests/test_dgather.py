@@ -60,3 +60,61 @@ def test_jit_and_vmap_compose():
     assert float(v) == float(table[idx].sum())
     np.testing.assert_array_equal(
         np.asarray(g), np.asarray(jax.grad(lambda t: t[idx].sum())(table)))
+
+
+def _partition(alive, cap):
+    """The renderer._compact index construction (prefix-sum stable partition)."""
+    n = alive.shape[0]
+    ai = alive.astype(jnp.int32)
+    n_alive = jnp.sum(ai)
+    pos = jnp.where(alive, jnp.cumsum(ai) - 1,
+                    n_alive + jnp.cumsum(1 - ai) - 1)
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)[:cap]
+    return order, pos
+
+
+@pytest.mark.parametrize("n,cap", [(64, 64), (64, 24), (257, 40)])
+def test_permute_take_forward_bitwise(n, cap):
+    from raytracer_tpu.ops.dgather import permute_take
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    alive = jnp.asarray(rng.random(n) < 0.3)
+    order, pos = _partition(alive, cap)
+    np.testing.assert_array_equal(np.asarray(permute_take(x, order, pos)),
+                                  np.asarray(x[order]))
+
+
+@pytest.mark.parametrize("n,cap", [(64, 64), (64, 24), (257, 40)])
+def test_permute_take_grad_matches_native(n, cap):
+    """VJP (inverse-map gather) == the native gather's scatter-add VJP,
+    including zero cotangent for lanes the cap dropped."""
+    from raytracer_tpu.ops.dgather import permute_take
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    alive = jnp.asarray(rng.random(n) < 0.5)  # may overflow cap -> drops
+    order, pos = _partition(alive, cap)
+    w = jnp.asarray(rng.standard_normal((cap, 3)).astype(np.float32))
+
+    g_new = jax.grad(lambda v: jnp.sum(w * permute_take(v, order, pos)))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(w * v[order]))(x)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
+
+
+def test_permute_take_1d_and_jit():
+    from raytracer_tpu.ops.dgather import permute_take
+
+    x = jnp.asarray(np.arange(9, dtype=np.float32))
+    alive = jnp.asarray([0, 1, 1, 0, 0, 1, 0, 0, 1], bool)
+    order, pos = _partition(alive, 4)
+
+    @jax.jit
+    def f(v):
+        return (permute_take(v, order, pos) ** 2).sum()
+
+    v, g = jax.value_and_grad(f)(x)
+    assert float(v) == float((x[order] ** 2).sum())
+    np.testing.assert_array_equal(
+        np.asarray(g), np.asarray(jax.grad(lambda v: (v[order] ** 2).sum())(x)))
