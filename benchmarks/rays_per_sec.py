@@ -75,9 +75,13 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
         tile_rays = int(os.environ["RT_BENCH_TILE"])  # sweep hook
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
-    if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: force remat on/off
-        opts = dataclasses.replace(
-            opts, remat_tiles=os.environ["RT_BENCH_REMAT"] == "1")
+    if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: remat off/on + policy
+        rv = os.environ["RT_BENCH_REMAT"]  # 0=off, 1=on, plan/full=policy
+        if rv in ("plan", "full"):
+            opts = dataclasses.replace(opts, remat_tiles=True,
+                                       remat_policy=rv)
+        else:
+            opts = dataclasses.replace(opts, remat_tiles=rv == "1")
     if os.environ.get("RT_BENCH_LIGHTS"):  # sweep hook: truncate light count
         # (cost ATTRIBUTION only — image changes; never set for record runs)
         nl = int(os.environ["RT_BENCH_LIGHTS"])

@@ -120,6 +120,16 @@ def main():
         for capy in (32, 64, 128):
             g2 = build_grid(verts, tris, res=g.res, capacity=capy,
                             pregather=True)
+            if int(g2.overflow.shape[0]) > 512:
+                # small capacities at the coarse res overflow thousands of
+                # tris into the per-lane brute fallback — [N, n_overflow, 3]
+                # OOM'd at 17.7 GB on the first run; cost attribution is
+                # meaningless there anyway
+                print(json.dumps({"probe": "walk_cost", "tag": "capacity",
+                                  "capacity": capy, "skipped": "overflow",
+                                  "overflow": int(g2.overflow.shape[0])}),
+                      flush=True)
+                continue
             run(g2, soa, iorig, idir, n, "capacity",
                 {"capacity": capy,
                  "overflow": int(g2.overflow.shape[0])})

@@ -307,6 +307,13 @@ class RenderOptions:
     background: tuple = (0.235294, 0.67451, 0.843137)
     tile_rays: int = 16384   # wavefront tile size (primary rays per device step)
     remat_tiles: bool = True  # jax.checkpoint per tile (bounded backward memory)
+    remat_policy: str = "plan"  # "plan": save ONLY the walk outputs (winner
+    # ids/t + shadow-occlusion bits, tagged checkpoint_name 'trace_plan') and
+    # recompute the cheap differentiable shading from them in the backward —
+    # the winner search (the expensive stop-gradient walks) is neither
+    # recomputed (its outputs are residuals) nor does it force full
+    # activation storage. "full": plain jax.checkpoint (recomputes the walks
+    # too — measured 1.25x slower on config3, BENCH_LOG r3-d).
     tri_chunk: int = 1024    # triangles per inner scan step in the jnp trace
     compact_cap: float | None = None  # wavefront lane compaction: cap the ray
     # buffer at compact_cap×(primary rays) per bounce, keeping alive lanes

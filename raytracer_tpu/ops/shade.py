@@ -48,6 +48,10 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
         else:
             shadowed = tracer.occluded(sorig, ldir, dist, t_min, tri_chunk,
                                        active=active)
+        # part of the render "plan" (renderer._name_plan): saved as a remat
+        # residual so the backward never re-walks shadow rays
+        from jax.ad_checkpoint import checkpoint_name
+        shadowed = checkpoint_name(shadowed, "trace_plan")
         vis = jnp.where(shadowed, 0.0, 1.0)
         light_amt = light_amt + (vis * ldn)[:, None] * lint[None, :]
         r = reflect(-ldir, n)

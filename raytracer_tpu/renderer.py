@@ -31,6 +31,20 @@ from raytracer_tpu.ops.safemath import clamp01, normalize
 from raytracer_tpu.ops.trace import nearest_hit, surface_at
 
 
+def _name_plan(tree):
+    """Tag winner-search outputs as remat residuals (checkpoint_name).
+
+    The 'plan' of a frame — nearest-hit (kind, idx, t) per bounce and the
+    per-light shadow-occlusion bits — is everything the differentiable
+    recompute needs from the stop-gradient walks. Saving exactly these under
+    `save_only_these_names` gives walk-free backward recompute at ids-sized
+    residual memory (vs full activations with remat off, or re-walking with
+    plain remat)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return jax.tree.map(lambda x: checkpoint_name(x, "trace_plan"), tree)
+
+
 def use_compact(scene: Scene, opts: RenderOptions) -> bool:
     """Does this (scene, opts) pair run compacted wavefronts?
 
@@ -127,6 +141,11 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
                               active=msk)
         else:
             hit = tracer.nearest(o, d, opts.t_min, opts.tri_chunk, active=msk)
+        # tag the winner-search output as the render "plan": under the
+        # save_only_these_names remat policy (opts.remat_policy == "plan")
+        # the backward saves these few small arrays and recomputes only the
+        # cheap differentiable shading — the walks never rerun in the bwd
+        hit = _name_plan(hit)
     with jax.named_scope("surface_at"):
         surf = surface_at(scene, o, d, hit, opts.t_min)
     valid = surf.valid & alive
@@ -217,7 +236,13 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     # wavefronts too). Measured config3 d4: 31× n0 lane work at 5.5%
     # occupancy without it (benchmarks/occupancy.py).
     compact = use_compact(scene, opts)
-    pix = jnp.arange(n0, dtype=jnp.int32) if compact else None
+    # pix (per-lane pixel ids) stays None until the FIRST actual compaction:
+    # before any permutation, slot i's pixel is i mod n0 (glass doubling
+    # concatenates children), so terms fold by reshape — a full-width
+    # scatter-add on an identity pix at bounce 0 cost more than the frame's
+    # real compaction work (BENCH_LOG r3-c: compaction lost on config4
+    # partly because every bounce-0 fold paid the serialized-scatter price)
+    pix = None
     dropped = jnp.zeros((), jnp.float32)
 
     for depth in range(opts.max_depth + 1):
@@ -229,9 +254,13 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
             radiance = radiance + t
         traced = traced + inc
         if compact and state is not None:
-            *state, pix = state
+            if pix is not None:
+                *state, pix = state
             cap = _cap_lanes(opts.compact_cap, n0)
             if state[0].shape[0] > cap:
+                if pix is None:
+                    # lane j's pixel is j mod n0 until the first permutation
+                    pix = jnp.arange(state[0].shape[0], dtype=jnp.int32) % n0
                 with jax.named_scope("compact_wavefront"):
                     state, pix, drop = _compact(tuple(state), pix, cap)
             else:
@@ -303,8 +332,16 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         if opts.remat_tiles:
             # recompute each tile's forward during backward instead of saving
             # per-tile/per-bounce residuals (HBM: trade FLOPs for memory —
-            # backward at 1080p OOMs otherwise)
-            tile_fn = jax.checkpoint(tile_fn)
+            # backward at 1080p OOMs otherwise). The "plan" policy keeps the
+            # walk outputs as residuals (see _name_plan) so only shading is
+            # recomputed; "full" is the classic recompute-everything remat.
+            if opts.remat_policy == "plan":
+                tile_fn = jax.checkpoint(
+                    tile_fn,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "trace_plan"))
+            else:
+                tile_fn = jax.checkpoint(tile_fn)
         carry0 = (zero, zero) if compact else zero
         carry, rad = jax.lax.scan(tile_fn, carry0, dirs)
         traced, dropped = carry if compact else (carry, None)
