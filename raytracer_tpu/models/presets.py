@@ -74,7 +74,11 @@ def config2_mirror_spheres():
                             [(0.7, 0.7, 0.7), (0.45, 0.45, 0.45)]),
     )
     cam = Camera.build(pos=(0.0, 0.8, 2.0), fov_deg=55.0)
-    opts = RenderOptions(width=512, height=512, max_depth=2)
+    # tile 65536: big mesh-free frames train as ONE band, so the backward's
+    # cost is tile-scan staging — 65536 beat 16384 by 1.63x combined with
+    # plan remat on the 1080p d2 step (BENCH_LOG r3-d/r3-f)
+    opts = RenderOptions(width=512, height=512, max_depth=2,
+                         tile_rays=65536)
     return scene, cam, opts
 
 
@@ -120,7 +124,11 @@ def config3_cornell():
         lights=Lights.build([(0.0, 1.85, -6.0)], [(1.0, 1.0, 1.0)]),
     )
     cam = Camera.build(pos=(0.0, 0.0, 0.0), fov_deg=50.0)
-    opts = RenderOptions(width=1024, height=1024, max_depth=4)
+    # remat OFF: the glass backward runs banded microbatches whose residuals
+    # fit HBM; every remat flavor (even shading-only 'plan') costs more than
+    # storing — 0.498 s/step vs 0.612 plan / 0.640 full (BENCH_LOG r3-f)
+    opts = RenderOptions(width=1024, height=1024, max_depth=4,
+                         remat_tiles=False)
     return scene, cam, opts
 
 
