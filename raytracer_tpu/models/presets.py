@@ -164,14 +164,14 @@ def config4_mesh(use_obj: bool = True):
                             [(0.7, 0.7, 0.7), (0.45, 0.45, 0.45)]),
     )
     cam = Camera.build(pos=(0.0, 0.6, 1.2), fov_deg=50.0)
-    # tile 16384: the walk's per-iteration candidate buffers ([tile,
-    # capacity] t/id planes ≈ 8 MB at cap 128) must fit VMEM — at the old
-    # 131072 they spill to HBM and every DDA iteration pays full-width
-    # staging copies (the r3-c copy-start profile). Measured on the 1920×216
-    # d4 band: 0.740 s at 16384 vs 1.981 s at 131072 vs 3.49 s single-tile
-    # (2.7×, BENCH_LOG r3-e tile sweep, repeat ±0.1%).
+    # tile 4096: the walk's per-iteration candidate buffers ([tile, capacity]
+    # t/id planes + [tile, cap, 10] SoA reads) must stay VMEM-resident — at
+    # the old 131072 they spill and every DDA iteration pays full-width HBM
+    # staging (the r3-c copy-start profile). Band sweep (1920×216 d4, repeat
+    # ±0.2%): 2048 0.392 s · **4096 0.3556** · 8192 0.459 · 16384 0.740 ·
+    # 131072 1.981 · single-tile 3.49 (BENCH_LOG r3-e/r3-f/r3-g).
     opts = RenderOptions(width=1920, height=1080, max_depth=4,
-                         tile_rays=16384)
+                         tile_rays=4096)
     return scene, cam, opts
 
 
