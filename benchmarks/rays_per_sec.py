@@ -351,16 +351,12 @@ def phase_bwd(config, repeats=2, **kw):
         [tgt_fn(scene, cam, tracer, r0=r0, rows=rows) for r0, rows in bands],
         axis=0) * 0.9
     p0 = _grad_params(scene)
-    # bands are already sized under the backward budget for the plain
-    # wavefront, so per-tile remat is unnecessary — EXCEPT for glass scenes,
-    # whose ray buffers double per bounce (≈2^D/(D+1)× the residual state the
-    # band formula assumes): keep remat there to bound backward memory.
-    # RT_BENCH_REMAT (sweep hook, applied in _setup) overrides this policy.
-    if os.environ.get("RT_BENCH_REMAT"):
-        opts_b = opts
-    else:
-        opts_b = dataclasses.replace(
-            opts, remat_tiles=scene.has_glass and opts.remat_tiles)
+    # The per-scene remat winner is encoded in each PRESET now (BENCH_LOG
+    # r3-f: config2 plan-remat 0.0915 s vs 0.134 remat-off; config3 the
+    # reverse) — the old "remat off unless glass" override here silently
+    # cost config2 1.46x. RT_BENCH_REMAT (applied in _setup) stays the
+    # explicit sweep hook.
+    opts_b = opts
     # one value_and_grad program per band height (traced row0), as in fwd
     vg_by_rows = {}
     for _, rows in bands:

@@ -313,12 +313,12 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     substeps to each iteration: a lane whose cell lists no triangles advances
     on a 1-byte `cell_occ` gather instead of paying the full C-slot candidate
     gather — results are bitwise identical (empty-cell evals only ever fold
-    INF), it just spends the expensive gathers on occupied cells. At the
-    coarse cap-128 defaults S=2 is a measured 1.16× WIN (BENCH_LOG r3-c,
-    interleaved ±0.03%: the pregathered candidate row is ~5 KB, priced above
-    the ~1 KB flat-latency knee, while the occ probe is 1 B) and is the
-    default; the old "skip always loses" verdict held only for thin
-    (≤480 B) rows where every gather costs the same ~10 ns.
+    INF), it just spends the expensive gathers on occupied cells. The
+    verdict is TILE-SIZE-DEPENDENT (BENCH_LOG r3-c vs r3-g): at HBM-spilled
+    widths (the old 131072-lane tiles) S=2 won 1.16× by avoiding fat-row
+    staging; at the shipping VMEM-resident tiles (4096) the row fetch is
+    cheap and the extra substeps just add iterations — S=0 wins 1.20×
+    (0.307 vs 0.368 on the config4 band, interleaved) and is the default.
 
     `fanout=K` (env RT_GRID_FANOUT, default 1) evaluates K consecutive DDA
     cells per loop iteration with ONE batched candidate gather ([N,K] rows)
@@ -339,7 +339,7 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
     import os
 
     if skip_steps is None:
-        skip_steps = int(os.environ.get("RT_GRID_SKIP", 2))
+        skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
     if fanout is None:
         fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
     fanout = max(1, fanout)
@@ -476,7 +476,7 @@ class GridTracer:
         # resolved at BUILD time (not trace time) so a rebuilt tracer always
         # reflects the current env even under jit caching
         if skip_steps is None:
-            skip_steps = int(os.environ.get("RT_GRID_SKIP", 2))
+            skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
         self._skip = skip_steps
         if fanout is None:
             fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
