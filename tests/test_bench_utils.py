@@ -168,3 +168,25 @@ def test_band_preflight_failure_keeps_only_small_rung(monkeypatch, capsys):
     assert len(full_rungs) == 1
     assert full_rungs[0][3].get("RT_BWD_UNIT_BUDGET") == "800000"
     assert lines[-1]["metric"].endswith("config4")
+
+
+def test_remat_env_hook_maps_policies(monkeypatch):
+    """RT_BENCH_REMAT: 0=off, 1=on, plan/full=on with that policy."""
+    from benchmarks.rays_per_sec import _setup
+
+    for val, tiles, policy in [("0", False, None), ("1", True, None),
+                               ("plan", True, "plan"),
+                               ("full", True, "full")]:
+        monkeypatch.setenv("RT_BENCH_REMAT", val)
+        _, _, opts, _ = _setup("config1")
+        assert opts.remat_tiles is tiles
+        if policy is not None:
+            assert opts.remat_policy == policy
+
+
+def test_lights_env_hook_truncates(monkeypatch):
+    from benchmarks.rays_per_sec import _setup
+
+    monkeypatch.setenv("RT_BENCH_LIGHTS", "1")
+    scene, _, _, _ = _setup("config2")
+    assert scene.lights.count == 1
