@@ -333,7 +333,45 @@ def _phase_fwd_timed(config, repeats=2, **kw):
             "fwd_bands": len(bands), "device": str(jax.devices()[0])}
 
 
+def _phase_bwd_replay(config, repeats=2, **kw):
+    """fwd+bwd step via fused-plan replay (RT_BENCH_PLAN=1, non-glass
+    fused-supported scenes): the param-input fused kernel emits the plan
+    each step (no recompile), and value_and_grad differentiates only the
+    shading replay (ops/replay.py)."""
+    from raytracer_tpu.ops.fused import FusedWhitted, supported
+    from raytracer_tpu.ops.replay import value_and_grad_replay
+
+    scene, cam, opts, _ = _setup(config, **kw)
+    assert supported(scene) and not scene.has_glass, \
+        "plan replay covers non-glass fused-supported scenes"
+    n_pix = opts.width * opts.height
+    print("# bwd-replay target render…", file=sys.stderr, flush=True)
+    target = jax.jit(lambda s, c: render(s, c, opts)[0])(scene, cam)
+    jax.block_until_ready(target)
+    target = target * 0.9
+    p0 = _grad_params(scene)
+    fused = FusedWhitted(scene, cam, opts, param_inputs=True)
+
+    def builder(q):
+        return fused.bind(center=q["center"], albedo=q["albedo"])
+
+    def step(eps):
+        p = jax.tree.map(lambda x: x + eps, p0)
+        return value_and_grad_replay(_with_params, p, scene, cam, opts,
+                                     target, builder)
+
+    print("# bwd-replay compile+warm…", file=sys.stderr, flush=True)
+    jax.block_until_ready(step(jnp.zeros(())))
+    print("# bwd-replay warm; timing…", file=sys.stderr, flush=True)
+    (val, g), t_bwd = _timer()(step, repeats=repeats)
+    float(val)  # validation readback
+    del n_pix
+    return {"fwd_bwd_s": t_bwd, "bwd_bands": 1, "mode": "plan-replay"}
+
+
 def phase_bwd(config, repeats=2, **kw):
+    if os.environ.get("RT_BENCH_PLAN") == "1":
+        return _phase_bwd_replay(config, repeats=repeats, **kw)
     scene, cam, opts, tracer = _setup(config, **kw)
     n_pix = opts.width * opts.height
     # the program-size fault is specific to grid/BVH mesh programs; mesh-free

@@ -64,7 +64,8 @@ class FusedWhitted:
     """Build once per (scene, camera, opts); call .render(row0, rows)."""
 
     def __init__(self, scene: Scene, camera: Camera, opts: RenderOptions,
-                 interpret: bool | None = None, tile: tuple | None = None):
+                 interpret: bool | None = None, tile: tuple | None = None,
+                 param_inputs: bool = False):
         assert supported(scene), \
             "fused path: meshes must be tiny (≤MAX_FUSED_TRIS) + flat-shaded"
         s = jax.tree.map(np.asarray, scene)
@@ -85,10 +86,19 @@ class FusedWhitted:
             tile = (16, 256) if self._has_glass else (32, 256)
         self._tile = (int(tile[0]), int(tile[1]))
 
+        # param_inputs: sphere centers + the material-albedo table become
+        # KERNEL INPUTS (SMEM refs) instead of baked constants, so the
+        # inverse-rendering loop can move exactly the parameters it trains
+        # (bench _grad_params / config5) without a rebuild+recompile per
+        # step — the enabler for fused-plan training (ops/replay.py).
+        self._param = bool(param_inputs)
+        self._sphc = np.asarray(s.spheres.center, np.float32).reshape(-1, 3)
+        self._albt = np.asarray(s.materials.albedo, np.float32).reshape(-1, 3)
+
         mats = s.materials
         self.spheres = [
             dict(c=tuple(map(float, s.spheres.center[i])),
-                 r=float(s.spheres.radius[i]),
+                 r=float(s.spheres.radius[i]), si=i,
                  **self._mat(mats, int(s.spheres.mat_id[i])))
             for i in range(s.spheres.count)]
         self.planes = [
@@ -133,7 +143,7 @@ class FusedWhitted:
         return dict(albedo=tuple(map(float, mats.albedo[mid])),
                     kd=float(mats.kd[mid]), ks=float(mats.ks[mid]),
                     spec_n=float(mats.spec_n[mid]),
-                    ior=float(mats.ior[mid]),
+                    ior=float(mats.ior[mid]), mid=mid,
                     mirror=int(mats.mtype[mid]) == REFLECTION,
                     glass=int(mats.mtype[mid]) == REFLECTION_AND_REFRACTION)
 
@@ -142,9 +152,11 @@ class FusedWhitted:
     def _dot(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-    # -- intersection t against one primitive (constants baked) ----------
-    def _sphere_t(self, o, d, sp, t_min):
-        L = (o[0] - sp["c"][0], o[1] - sp["c"][1], o[2] - sp["c"][2])
+    # -- intersection t against one primitive (constants baked; param-mode
+    # passes the ref-resolved center via `c`) --------------------------
+    def _sphere_t(self, o, d, sp, t_min, c=None):
+        c = sp["c"] if c is None else c
+        L = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
         a = self._dot(d, d)
         b = 2.0 * self._dot(d, L)
         c0 = self._dot(L, L) - sp["r"] * sp["r"]
@@ -189,10 +201,11 @@ class FusedWhitted:
         ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > t_min)
         return jnp.where(ok, t, jnp.inf)
 
-    def _occluded(self, o, d, max_t, t_min):
+    def _occluded(self, o, d, max_t, t_min, sph_c=None):
         occ = jnp.zeros_like(max_t, bool)
         for sp in self.spheres:
-            occ |= self._sphere_t(o, d, sp, t_min) < max_t
+            c = None if sph_c is None else sph_c(sp)
+            occ |= self._sphere_t(o, d, sp, t_min, c=c) < max_t
         for pln in self.planes:
             occ |= self._plane_t(o, d, pln, t_min) < max_t
         for tr in self.tris:
@@ -200,7 +213,8 @@ class FusedWhitted:
         return occ
 
     # -- the kernel -------------------------------------------------------
-    def _kernel(self, row0: int, h_px: int, w_px: int):
+    def _kernel(self, row0: int, h_px: int, w_px: int,
+                emit_plan: bool = False):
         opts = self._opts
         bg = tuple(float(c) for c in opts.background)
         t_min, bias = opts.t_min, opts.bias
@@ -210,10 +224,31 @@ class FusedWhitted:
                  + [("p", pln) for pln in self.planes]
                  + [("t", tr) for tr in self.tris])
         has_glass = self._has_glass
+        assert not (emit_plan and has_glass), \
+            "plan emission covers non-glass scenes (one node per depth); " \
+            "glass doubling + compaction keep the wavefront planner"
         m = self.c2w
         TR, TC = self._tile
 
-        def kernel(eps_ref, r_ref, g_ref, b_ref):
+        param = self._param
+
+        def kernel(eps_ref, *refs):
+            if param:
+                sphc_ref, alb_ref = refs[0], refs[1]
+                refs = refs[2:]
+            r_ref, g_ref, b_ref, *plan_refs = refs
+
+            # param-mode accessors: SMEM scalar reads (static indices) in
+            # place of baked constants — 0-d values broadcast over [TR,TC]
+            def sph_c(sp):
+                if param:
+                    return tuple(sphc_ref[sp["si"], k] for k in range(3))
+                return sp["c"]
+
+            def mat_alb(prm):
+                if param:
+                    return tuple(alb_ref[prm["mid"], k] for k in range(3))
+                return prm["albedo"]
             # eps (always 0) threads a data dependency through the camera so
             # dependency-chain timing works (benchmarks/rays_per_sec.py); it
             # also future-proofs camera jitter without a rebuild.
@@ -250,13 +285,19 @@ class FusedWhitted:
                 best_t = jnp.full((TR, TC), jnp.inf)
                 win = jnp.full((TR, TC), -1, jnp.int32)
                 for i, (kind, prm) in enumerate(prims):
-                    ti = (self._sphere_t(o, d, prm, t_min) if kind == "s"
+                    ti = (self._sphere_t(o, d, prm, t_min, c=sph_c(prm))
+                          if kind == "s"
                           else self._plane_t(o, d, prm, t_min) if kind == "p"
                           else self._tri_t(o, d, prm, t_min))
                     better = ti < best_t
                     best_t = jnp.where(better, ti, best_t)
                     win = jnp.where(better, i, win)
                 valid = win >= 0
+                if emit_plan:
+                    # the render "plan" for this bounce: fused prim index
+                    # (-1 = miss). Replay maps it to (kind, idx) wavefront
+                    # residuals — ops/replay.py.
+                    plan_refs[depth][:] = win
                 tt = jnp.where(valid, best_t, 0.0)
                 p = tuple(o[k] + tt * d[k] for k in range(3))
 
@@ -271,14 +312,15 @@ class FusedWhitted:
                 is_gls = jnp.zeros((TR, TC), bool)
                 for i, (kind, prm) in enumerate(prims):
                     msk = win == i
+                    alb_i = mat_alb(prm)
                     if kind == "s":
                         inv_r = 1.0 / prm["r"]
-                        ni = tuple((p[k] - prm["c"][k]) * inv_r
+                        cc = sph_c(prm)
+                        ni = tuple((p[k] - cc[k]) * inv_r
                                    for k in range(3))
-                        ai = prm["albedo"]
-                        ai = (jnp.full((TR, TC), ai[0]),
-                              jnp.full((TR, TC), ai[1]),
-                              jnp.full((TR, TC), ai[2]))
+                        ai = (jnp.full((TR, TC), alb_i[0]),
+                              jnp.full((TR, TC), alb_i[1]),
+                              jnp.full((TR, TC), alb_i[2]))
                     elif kind == "p":
                         ni = tuple(jnp.full((TR, TC), prm["n"][k])
                                    for k in range(3))
@@ -290,15 +332,15 @@ class FusedWhitted:
                             fv = v - jnp.floor(v)
                             pat = (fu > 0.5) ^ (fv > 0.5)
                             ai = tuple(jnp.where(pat, prm["alb2"][k],
-                                                 prm["albedo"][k])
+                                                 alb_i[k])
                                        for k in range(3))
                         else:
-                            ai = tuple(jnp.full((TR, TC), prm["albedo"][k])
+                            ai = tuple(jnp.full((TR, TC), alb_i[k])
                                        for k in range(3))
                     else:  # triangle: baked flat normal + material albedo
                         ni = tuple(jnp.full((TR, TC), prm["n"][k])
                                    for k in range(3))
-                        ai = tuple(jnp.full((TR, TC), prm["albedo"][k])
+                        ai = tuple(jnp.full((TR, TC), alb_i[k])
                                    for k in range(3))
                     for k in range(3):
                         nrm[k] = jnp.where(msk, ni[k], nrm[k])
@@ -323,7 +365,8 @@ class FusedWhitted:
                 so = tuple(p[k] + side * bias * nrm[k] for k in range(3))
                 lamt = [jnp.zeros((TR, TC), jnp.float32) for _ in range(3)]
                 spec = [jnp.zeros((TR, TC), jnp.float32) for _ in range(3)]
-                for lpos, lint in self.lights:
+                occ_acc = jnp.zeros((TR, TC), jnp.int32)
+                for li, (lpos, lint) in enumerate(self.lights):
                     lvec = tuple(lpos[k] - p[k] for k in range(3))
                     d2 = self._dot(lvec, lvec)
                     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -331,8 +374,11 @@ class FusedWhitted:
                     il = 1.0 / jnp.maximum(dist, 1e-12)
                     ldir = tuple(lvec[k] * il for k in range(3))
                     ldn = jnp.maximum(0.0, self._dot(ldir, nrm))
-                    vis = jnp.where(self._occluded(so, ldir, dist, t_min),
-                                    0.0, 1.0)
+                    shadowed = self._occluded(so, ldir, dist, t_min,
+                                              sph_c=sph_c)
+                    if emit_plan:  # bit li of the bounce's occlusion mask
+                        occ_acc |= shadowed.astype(jnp.int32) << li
+                    vis = jnp.where(shadowed, 0.0, 1.0)
                     # r = reflect(-ldir, n); base = -dot(r, d)
                     mld = self._dot(ldir, nrm)
                     rl = tuple(-ldir[k] + 2.0 * mld * nrm[k]
@@ -344,6 +390,8 @@ class FusedWhitted:
                     for k in range(3):
                         lamt[k] += vis * ldn * lint[k]
                         spec[k] += pw * lint[k]
+                if emit_plan:
+                    plan_refs[opts.max_depth + 1 + depth][:] = occ_acc
                 is_diff = valid & ~is_mir & ~is_gls
                 for k in range(3):
                     local = lamt[k] * alb[k] * kd + spec[k] * ks
@@ -436,8 +484,9 @@ class FusedWhitted:
 
         return kernel
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-    def _render(self, row0: int, rows: int, eps):
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+    def _render(self, row0: int, rows: int, emit_plan: bool, eps, sphc,
+                albt):
         opts = self._opts
         TR, TC = self._tile
         h, w = opts.height, opts.width
@@ -446,16 +495,41 @@ class FusedWhitted:
         grid = (rp // TR, wp // TC)
         spec = pl.BlockSpec((TR, TC), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-        eps_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                                memory_space=pltpu.SMEM)
+        smem = lambda a: pl.BlockSpec(
+            a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.SMEM)
+        eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1))
         shape = jax.ShapeDtypeStruct((rp, wp), jnp.float32)
-        planes = pl.pallas_call(
-            self._kernel(row0, h, w), grid=grid,
-            in_specs=[eps_spec], out_specs=(spec, spec, spec),
-            out_shape=(shape, shape, shape),
+        ishape = jax.ShapeDtypeStruct((rp, wp), jnp.int32)
+        n_plan = 2 * (opts.max_depth + 1) if emit_plan else 0
+        ins = [eps2]
+        in_specs = [smem(eps2)]
+        if self._param:
+            ins += [jnp.asarray(sphc, jnp.float32).reshape(-1, 3),
+                    jnp.asarray(albt, jnp.float32).reshape(-1, 3)]
+            in_specs += [smem(a) for a in ins[1:]]
+        out = pl.pallas_call(
+            self._kernel(row0, h, w, emit_plan=emit_plan), grid=grid,
+            in_specs=in_specs,
+            out_specs=(spec, spec, spec) + (spec,) * n_plan,
+            out_shape=(shape, shape, shape) + (ishape,) * n_plan,
             interpret=self._interpret,
-        )(jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1)))
-        return jnp.stack(planes, axis=-1)[:rows, :w]
+        )(*ins)
+        img = jnp.stack(out[:3], axis=-1)[:rows, :w]
+        if not emit_plan:
+            return img
+        plan = tuple(pl_[:rows, :w] for pl_ in out[3:])
+        d1 = opts.max_depth + 1
+        return img, plan[:d1], plan[d1:]
+
+    def bind(self, center=None, albedo=None):
+        """Param-mode: set the live sphere-center / material-albedo inputs
+        (no recompile — they are kernel inputs). Returns self."""
+        assert self._param, "build with param_inputs=True to bind params"
+        if center is not None:
+            self._sphc = center
+        if albedo is not None:
+            self._albt = albedo
+        return self
 
     def render(self, row0: int = 0, rows: int | None = None, eps=0.0):
         """→ image [rows, W, 3] in [0,1] (band of the full projection).
@@ -463,4 +537,16 @@ class FusedWhitted:
         `eps` (keep 0) perturbs the camera x — the data-dependency hook for
         chained timing."""
         rows = self._opts.height - row0 if rows is None else rows
-        return self._render(row0, rows, eps)
+        return self._render(row0, rows, False, eps, self._sphc, self._albt)
+
+    def render_plan(self, row0: int = 0, rows: int | None = None, eps=0.0):
+        """→ (image, win_planes, occ_planes): the forward render PLUS the
+        frame's replay plan — per bounce, the fused-prim winner index
+        ([rows, W] i32, −1 = miss) and the per-light shadow-occlusion
+        bitmask (bit l = light l occluded). Non-glass scenes only (one
+        recursion node per depth). ops/replay.py turns these into the
+        wavefront renderer's integer residuals so training replays shading
+        without re-running any winner search; with param_inputs=True the
+        plan refreshes per step at zero recompile cost."""
+        rows = self._opts.height - row0 if rows is None else rows
+        return self._render(row0, rows, True, eps, self._sphc, self._albt)

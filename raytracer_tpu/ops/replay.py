@@ -1,0 +1,159 @@
+"""Plan replay: differentiate shading against a recorded winner-search plan.
+
+The training step's backward never needs the winner SEARCH — only its
+integer outputs (the architecture's stop-gradient residuals, ops/trace.py).
+`FusedWhitted.render_plan` produces those outputs at serving-forward speed
+for non-glass scenes; `PlanTracer` feeds them back through the unchanged
+wavefront `bounce_step` loop, so `jax.value_and_grad` over a replay render
+differentiates ONLY the cheap shading recompute. This is the fused
+megakernel acting as the training planner (VERDICT r2 ask #5's stretch
+goal), generalizing the plan-saving remat policy (docs/ARCH.md): instead
+of saving the plan from a wavefront primal, the plan comes from the fused
+kernel and the wavefront primal is never run at all.
+
+Correctness standard: the fused winner ids agree with the wavefront search
+everywhere except knife-edge candidates within fp-association noise (the
+cross-backend standard, tests/test_fused.py), so replay(plan) matches the
+wavefront render to the same tolerance — and gradients (probed away from
+edges, SURVEY §4.3) match the plain path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu.core.types import (
+    KIND_NONE, KIND_PLANE, KIND_SPHERE, KIND_TRIANGLE)
+from raytracer_tpu.ops.trace import Hit
+
+
+class PlanTracer:
+    """Replays a recorded plan through the tracer interface.
+
+    Built per band from `FusedWhitted.render_plan` outputs flattened to the
+    band's ray order ([N] per bounce). Stateful cursors sequence the calls:
+    the wavefront loop is statically unrolled, calling `nearest` once per
+    bounce and `occluded` once per light within that bounce — the same
+    fixed order the fused kernel wrote the planes in.
+    """
+
+    def __init__(self, wins, occs, n_spheres: int, n_planes: int):
+        self._wins = [jnp.asarray(w).reshape(-1) for w in wins]
+        self._occs = [jnp.asarray(o).reshape(-1) for o in occs]
+        self._ns = int(n_spheres)
+        self._np = int(n_planes)
+        self._bounce = -1
+        self._light = 0
+
+    @staticmethod
+    def for_plan(plan, n_spheres: int, n_planes: int):
+        """Build from a (win_planes, occ_planes) pair whose planes already
+        cover exactly the rays about to be traced (band-local)."""
+        wins, occs = plan
+        return PlanTracer(list(wins), list(occs), n_spheres, n_planes)
+
+    def _hit_from_win(self, win):
+        miss = win < 0
+        is_s = ~miss & (win < self._ns)
+        is_p = ~miss & ~is_s & (win < self._ns + self._np)
+        kind = jnp.where(miss, KIND_NONE,
+                         jnp.where(is_s, KIND_SPHERE,
+                                   jnp.where(is_p, KIND_PLANE,
+                                             KIND_TRIANGLE)))
+        idx = jnp.where(is_s, win,
+                        jnp.where(is_p, win - self._ns,
+                                  jnp.maximum(win - self._ns - self._np, 0)))
+        # t is never read on the replay path (surface_at recomputes it);
+        # keep the miss/hit split so any defensive `t < inf` check agrees
+        t = jnp.where(miss, jnp.inf, 1.0)
+        return Hit(kind=kind.astype(jnp.int32), idx=idx.astype(jnp.int32),
+                   t=t.astype(jnp.float32))
+
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
+        self._bounce += 1
+        self._light = 0
+        assert self._bounce < len(self._wins), \
+            "replay exhausted: more nearest() calls than plan bounces"
+        win = self._wins[self._bounce]
+        assert win.shape[0] == orig.shape[0], \
+            f"plan width {win.shape[0]} != wavefront width {orig.shape[0]} " \
+            "(replay requires single-tile rendering: opts.tile_rays >= band)"
+        return self._hit_from_win(win)
+
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
+        li = self._light
+        self._light += 1
+        occ = self._occs[self._bounce]
+        assert occ.shape[0] == orig.shape[0]
+        return ((occ >> li) & 1).astype(bool)
+
+
+def replay_render(scene, camera, opts, plan, row0: int = 0,
+                  rows: int | None = None):
+    """Render a band by replaying `plan` (band-local planes from
+    `FusedWhitted.render_plan(row0, rows)`).
+
+    Identical structure to renderer.render but with the winner search
+    replaced by the recorded plan; runs single-tile (the plan planes are
+    indexed by band ray order, which a tile scan would interleave).
+    """
+    import dataclasses
+
+    from raytracer_tpu import renderer
+
+    rows = opts.height - row0 if rows is None else rows
+    n_pix = rows * opts.width
+    opts1 = dataclasses.replace(opts, tile_rays=max(opts.tile_rays,
+                                                    -(-n_pix // 8) * 8))
+    tracer = PlanTracer.for_plan(plan, scene.spheres.count,
+                                 scene.planes.count)
+    return renderer.render(scene, camera, opts1, tracer=tracer, row0=row0,
+                           rows=rows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("apply_params", "opts", "rb"))
+def _replay_band_vg(params, scene, camera, target, plan, r0, *,
+                    apply_params, opts, rb):
+    # traced r0: bands of one height share a single compiled program, as in
+    # renderer._band_vg
+    def band_loss(p):
+        s = apply_params(scene, p)
+        img = replay_render(s, camera, opts, plan, row0=r0, rows=rb)[0]
+        want = jax.lax.dynamic_slice_in_dim(target, r0, rb, 0)
+        return jnp.sum((img - want) ** 2) / (opts.width * opts.height * 3)
+
+    return jax.value_and_grad(band_loss)(params)
+
+
+def value_and_grad_replay(apply_params, params, scene, camera, opts, target,
+                          fused_builder, band_rows: int | None = None):
+    """Pixel-L2 loss + grads via fused-plan replay (non-glass scenes).
+
+    Per band: (1) `fused_builder(params)` → a FusedWhitted whose
+    `render_plan` emits the band's plan under stop_gradient (fast serving
+    forward, no wavefront primal); (2) `jax.value_and_grad` over the
+    replay render — the differentiated graph contains ONLY the shading
+    recompute. Matches renderer.value_and_grad_banded up to the fused-vs-
+    wavefront knife-edge id class.
+
+    `fused_builder(params) -> FusedWhitted` should return a CACHED
+    param_inputs=True kernel with the current params bound (e.g.
+    `lambda p: fused.bind(center=p["center"], albedo=p["albedo"])`) —
+    plans then refresh per step with no recompile. A builder that BAKES
+    params recompiles every step. Band programs are jit-cached per
+    (opts, r0, rb) like renderer._band_vg.
+    """
+    band_rows = opts.height if band_rows is None else band_rows
+    fused = fused_builder(params)
+    val, grads = None, None
+    for r0 in range(0, opts.height, band_rows):
+        rb = min(band_rows, opts.height - r0)
+        out = fused.render_plan(row0=r0, rows=rb)
+        plan = jax.lax.stop_gradient((out[1], out[2]))
+        v, g = _replay_band_vg(params, scene, camera, target, plan, r0,
+                               apply_params=apply_params, opts=opts, rb=rb)
+        val = v if val is None else val + v
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+    return val, grads

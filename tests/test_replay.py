@@ -1,0 +1,108 @@
+"""Fused-plan replay training path (ops/replay.py + fused.render_plan).
+
+The fused megakernel emits the winner-search plan (per-bounce prim index +
+per-light occlusion bits) for non-glass scenes; PlanTracer replays it
+through the unchanged wavefront loop so value_and_grad differentiates only
+the shading recompute. Correctness bar: replay image == wavefront render
+(same recompute, fused-vs-wavefront knife-edge ids excepted) and replay
+gradients == the banded reference path to association noise.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.models import presets
+from raytracer_tpu.ops.fused import FusedWhitted
+from raytracer_tpu.ops.replay import replay_render, value_and_grad_replay
+from raytracer_tpu.renderer import render, value_and_grad_banded
+
+RES = 64
+
+
+@pytest.fixture(scope="module")
+def c2():
+    scene, cam, opts = presets.PRESETS["config2"]()
+    return scene, cam, dataclasses.replace(opts, width=RES, height=RES)
+
+
+def test_replay_image_matches_wavefront(c2):
+    scene, cam, opts = c2
+    _, wins, occs = FusedWhitted(scene, cam, opts).render_plan()
+    img_r = replay_render(scene, cam, opts, (wins, occs))[0]
+    ref = render(scene, cam, opts)[0]
+    d = np.abs(np.asarray(img_r) - np.asarray(ref)).max(axis=-1)
+    # same differentiable recompute fed the same ids — only knife-edge id
+    # flips (fused-vs-wavefront association class) may differ
+    assert (d > 1.5 / 255).mean() < 0.002
+    assert np.median(d) == 0.0
+
+
+def test_replay_banded(c2):
+    scene, cam, opts = c2
+    fused = FusedWhitted(scene, cam, opts)
+    ref = render(scene, cam, opts)[0]
+    rows = RES // 2
+    parts = []
+    for r0 in (0, rows):
+        _, wins, occs = fused.render_plan(row0=r0, rows=rows)
+        parts.append(replay_render(scene, cam, opts, (wins, occs), row0=r0,
+                                   rows=rows)[0])
+    img = jnp.concatenate(parts, axis=0)
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+    assert (d > 1.5 / 255).mean() < 0.002
+
+
+def _params(scene):
+    return {"center": jnp.asarray(scene.spheres.center),
+            "albedo": jnp.asarray(scene.materials.albedo)}
+
+
+def _apply(scene, p):
+    return scene.replace(
+        spheres=dataclasses.replace(scene.spheres, center=p["center"]),
+        materials=dataclasses.replace(scene.materials, albedo=p["albedo"]))
+
+
+@pytest.mark.parametrize("param_inputs", [False, True])
+def test_replay_grads_match_banded(c2, param_inputs):
+    scene, cam, opts = c2
+    params = _params(scene)
+    target = render(scene, cam, opts)[0] * 0.9
+    v1, g1 = value_and_grad_banded(_apply, params, scene, cam, opts, target)
+    if param_inputs:
+        fused = FusedWhitted(scene, cam, opts, param_inputs=True)
+        builder = lambda p: fused.bind(center=p["center"],
+                                       albedo=p["albedo"])
+    else:
+        builder = lambda p: FusedWhitted(_apply(scene, p), cam, opts)
+    v2, g2 = value_and_grad_replay(_apply, params, scene, cam, opts, target,
+                                   builder)
+    assert abs(float(v1) - float(v2)) < 1e-5 * max(abs(float(v1)), 1e-9) \
+        + 1e-8
+    for k in g1:
+        scale = float(jnp.abs(g1[k]).max()) + 1e-9
+        assert float(jnp.abs(g1[k] - g2[k]).max()) <= 2e-3 * scale
+
+
+def test_param_bind_matches_rebake(c2):
+    scene, cam, opts = c2
+    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+    c2_ = np.asarray(scene.spheres.center).copy()
+    c2_[0] += 0.3
+    al = np.asarray(scene.materials.albedo).copy()
+    al[0] = [0.9, 0.1, 0.2]
+    s2 = _apply(scene, {"center": c2_, "albedo": al})
+    ref = FusedWhitted(s2, cam, opts).render()
+    got = fp.bind(center=c2_, albedo=al).render()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_plan_rejects_glass():
+    scene, cam, opts = presets.PRESETS["config3"]()
+    opts = dataclasses.replace(opts, width=32, height=32)
+    with pytest.raises(AssertionError):
+        FusedWhitted(scene, cam, opts).render_plan()
