@@ -370,8 +370,17 @@ def _phase_bwd_replay(config, repeats=2, **kw):
 
 
 def phase_bwd(config, repeats=2, **kw):
-    if os.environ.get("RT_BENCH_PLAN") == "1":
-        return _phase_bwd_replay(config, repeats=repeats, **kw)
+    # fused-plan replay is the DEFAULT training step where it applies
+    # (non-glass fused-supported scenes): measured 1.31x the plan-remat
+    # wavefront step on config2 1080p d2 (BENCH_LOG r3-j). RT_BENCH_PLAN=0
+    # forces the standard path, =1 asserts replay.
+    plan = os.environ.get("RT_BENCH_PLAN", "auto")
+    if plan != "0":
+        from raytracer_tpu.ops.fused import supported
+
+        scene0 = presets.PRESETS[config]()[0]
+        if plan == "1" or (not scene0.has_glass and supported(scene0)):
+            return _phase_bwd_replay(config, repeats=repeats, **kw)
     scene, cam, opts, tracer = _setup(config, **kw)
     n_pix = opts.width * opts.height
     # the program-size fault is specific to grid/BVH mesh programs; mesh-free

@@ -268,11 +268,35 @@ def cmd_optimize(args):
             start = latest + 1
             print(f"resumed from step {latest} at {path}")
 
-    @jax.jit
-    def step(p, s):
-        val, g = jax.value_and_grad(loss)(p)
-        upd, s = opt.update(g, s)
-        return optax.apply_updates(p, upd), s, val
+    if getattr(args, "plan", False):
+        # fused-plan replay step (ops/replay.py): the param-input megakernel
+        # emits the winner plan each step (no recompile); autodiff sees only
+        # the shading replay. Spheres preset only (non-glass, fused-baked).
+        from raytracer_tpu.ops.fused import FusedWhitted, supported
+        from raytracer_tpu.ops.replay import value_and_grad_replay
+
+        assert args.preset != "mesh", "--plan covers the spheres preset"
+        assert supported(init) and not init.has_glass
+        fused = FusedWhitted(init, cam, opts, param_inputs=True)
+
+        def _builder(q):
+            return fused.bind(center=q["center"],
+                              albedo=jnp.clip(q["albedo"], 0.0, 1.0))
+
+        upd_jit = jax.jit(lambda g, s, p: opt.update(g, s, p))
+
+        def step(p, s):
+            val, g = value_and_grad_replay(
+                lambda _s, q: apply_params(q), p, init, cam, opts, timg,
+                _builder)
+            upd, s = upd_jit(g, s, p)
+            return optax.apply_updates(p, upd), s, val
+    else:
+        @jax.jit
+        def step(p, s):
+            val, g = jax.value_and_grad(loss)(p)
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s, val
 
     fault_after = int(os.environ.get("RT_FAULT_AFTER_STEPS") or 0)
     for done, i in enumerate(range(start, args.steps)):
@@ -367,6 +391,10 @@ def main(argv=None):
                     help="resume from the latest checkpoint")
     po.add_argument("--ckpt-every", type=int, default=25)
     po.add_argument("--log-every", type=int, default=10)
+    po.add_argument("--plan", action="store_true",
+                    help="fused-plan replay training step (spheres preset): "
+                         "the megakernel plans, autodiff replays shading — "
+                         "1.31x the wavefront step on TPU (BENCH_LOG r3-j)")
     po.add_argument("--supervise", action="store_true",
                     help="elastic mode: run the loop as a child process and "
                          "auto-restart it with --resume after crashes "
