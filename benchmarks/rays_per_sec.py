@@ -342,8 +342,7 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     from raytracer_tpu.ops.replay import value_and_grad_replay
 
     scene, cam, opts, _ = _setup(config, **kw)
-    assert supported(scene) and not scene.has_glass, \
-        "plan replay covers non-glass fused-supported scenes"
+    assert supported(scene), "plan replay needs a fused-supported scene"
     n_pix = opts.width * opts.height
     print("# bwd-replay target render…", file=sys.stderr, flush=True)
     target = jax.jit(lambda s, c: render(s, c, opts)[0])(scene, cam)
@@ -351,6 +350,11 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     target = target * 0.9
     p0 = _grad_params(scene)
     fused = FusedWhitted(scene, cam, opts, param_inputs=True)
+    # glass replays UNCOMPACTED (2^D·band lanes at the last bounce) — band
+    # the frame to bound residual memory; mesh-free otherwise runs whole
+    band_rows = None
+    if scene.has_glass:
+        band_rows = max(64, opts.height // 4)
 
     def builder(q):
         return fused.bind(center=q["center"], albedo=q["albedo"])
@@ -358,7 +362,7 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     def step(eps):
         p = jax.tree.map(lambda x: x + eps, p0)
         return value_and_grad_replay(_with_params, p, scene, cam, opts,
-                                     target, builder)
+                                     target, builder, band_rows=band_rows)
 
     print("# bwd-replay compile+warm…", file=sys.stderr, flush=True)
     jax.block_until_ready(step(jnp.zeros(())))

@@ -224,9 +224,20 @@ class FusedWhitted:
                  + [("p", pln) for pln in self.planes]
                  + [("t", tr) for tr in self.tris])
         has_glass = self._has_glass
-        assert not (emit_plan and has_glass), \
-            "plan emission covers non-glass scenes (one node per depth); " \
-            "glass doubling + compaction keep the wavefront planner"
+        # plan layout: one (win, occ) plane pair per RECURSION NODE. Non-
+        # glass scenes have one node per depth; glass scenes a binary tree —
+        # node (depth b, path p) writes plane index node_off(b) + p, where
+        # p = Σ_j c_j·2^(j-1) over the reflect(0)/refract(1) choices on the
+        # path. p is exactly the wavefront's uncompacted buffer-slot prefix
+        # (child slot = c·2^depth + parent slot under the [reflect|refract]
+        # concat), so the replay concatenates bounce-b planes in p order.
+        if has_glass:
+            node_off = lambda b: (1 << b) - 1
+            n_nodes = (1 << (opts.max_depth + 1)) - 1
+        else:
+            node_off = lambda b: b
+            n_nodes = opts.max_depth + 1
+        self._n_plan_nodes = n_nodes
         m = self.c2w
         TR, TC = self._tile
 
@@ -274,12 +285,13 @@ class FusedWhitted:
                  jnp.full((TR, TC), self.cam_pos[1]),
                  jnp.full((TR, TC), self.cam_pos[2]))
 
-            def radiance(o, d, depth):
+            def radiance(o, d, depth, path=0):
                 """Whitted castRay, statically unrolled depth-first.
 
                 Returns the [TR,TC]×3 radiance of a unit-throughput ray;
                 ancestors scale by their (kr, 1−kr) weights — the product
-                telescopes to the wavefront renderer's throughput.
+                telescopes to the wavefront renderer's throughput. `path`
+                names this node's wavefront slot prefix (plan emission).
                 """
                 # winner search (strict < keeps sphere<plane<tri, low index)
                 best_t = jnp.full((TR, TC), jnp.inf)
@@ -294,10 +306,10 @@ class FusedWhitted:
                     win = jnp.where(better, i, win)
                 valid = win >= 0
                 if emit_plan:
-                    # the render "plan" for this bounce: fused prim index
+                    # the render "plan" for this node: fused prim index
                     # (-1 = miss). Replay maps it to (kind, idx) wavefront
                     # residuals — ops/replay.py.
-                    plan_refs[depth][:] = win
+                    plan_refs[node_off(depth) + path][:] = win
                 tt = jnp.where(valid, best_t, 0.0)
                 p = tuple(o[k] + tt * d[k] for k in range(3))
 
@@ -391,7 +403,7 @@ class FusedWhitted:
                         lamt[k] += vis * ldn * lint[k]
                         spec[k] += pw * lint[k]
                 if emit_plan:
-                    plan_refs[opts.max_depth + 1 + depth][:] = occ_acc
+                    plan_refs[n_nodes + node_off(depth) + path][:] = occ_acc
                 is_diff = valid & ~is_mir & ~is_gls
                 for k in range(3):
                     local = lamt[k] * alb[k] * kd + spec[k] * ks
@@ -437,7 +449,7 @@ class FusedWhitted:
                 rd = tuple(rdw[k] * rinv for k in range(3))
                 rside = jnp.where(self._dot(rd, nrm) < 0, -1.0, 1.0)
                 ro = tuple(p[k] + rside * bias * nrm[k] for k in range(3))
-                cr = radiance(ro, rd, depth + 1)
+                cr = radiance(ro, rd, depth + 1, path)  # reflect: c=0
                 w_r = jnp.where(valid & (is_mir | is_gls), kr, 0.0)
                 for k in range(3):
                     rad[k] += w_r * cr[k]
@@ -471,7 +483,8 @@ class FusedWhitted:
                     tside = jnp.where(self._dot(td, nrm) < 0, -1.0, 1.0)
                     to = tuple(p[k] + tside * bias * nrm[k]
                                for k in range(3))
-                    ct = radiance(to, td, depth + 1)
+                    # refract: c=1 → slot prefix gains the 2^depth bit
+                    ct = radiance(to, td, depth + 1, path + (1 << depth))
                     w_t = jnp.where(valid & is_gls & t_ok, 1.0 - kr, 0.0)
                     for k in range(3):
                         rad[k] += w_t * ct[k]
@@ -500,7 +513,9 @@ class FusedWhitted:
         eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1))
         shape = jax.ShapeDtypeStruct((rp, wp), jnp.float32)
         ishape = jax.ShapeDtypeStruct((rp, wp), jnp.int32)
-        n_plan = 2 * (opts.max_depth + 1) if emit_plan else 0
+        n_nodes = ((1 << (opts.max_depth + 1)) - 1 if self._has_glass
+                   else opts.max_depth + 1)
+        n_plan = 2 * n_nodes if emit_plan else 0
         ins = [eps2]
         in_specs = [smem(eps2)]
         if self._param:
@@ -518,8 +533,7 @@ class FusedWhitted:
         if not emit_plan:
             return img
         plan = tuple(pl_[:rows, :w] for pl_ in out[3:])
-        d1 = opts.max_depth + 1
-        return img, plan[:d1], plan[d1:]
+        return img, plan[:n_nodes], plan[n_nodes:]
 
     def bind(self, center=None, albedo=None):
         """Param-mode: set the live sphere-center / material-albedo inputs
@@ -541,12 +555,14 @@ class FusedWhitted:
 
     def render_plan(self, row0: int = 0, rows: int | None = None, eps=0.0):
         """→ (image, win_planes, occ_planes): the forward render PLUS the
-        frame's replay plan — per bounce, the fused-prim winner index
-        ([rows, W] i32, −1 = miss) and the per-light shadow-occlusion
-        bitmask (bit l = light l occluded). Non-glass scenes only (one
-        recursion node per depth). ops/replay.py turns these into the
-        wavefront renderer's integer residuals so training replays shading
-        without re-running any winner search; with param_inputs=True the
-        plan refreshes per step at zero recompile cost."""
+        frame's replay plan — per recursion NODE, the fused-prim winner
+        index ([rows, W] i32, −1 = miss) and the per-light shadow-occlusion
+        bitmask (bit l = light l occluded). Non-glass scenes emit one node
+        per depth; glass scenes the full 2^(D+1)−1 node tree in (bounce,
+        path-prefix) order (see _kernel's plan-layout note). ops/replay.py
+        turns these into the wavefront renderer's integer residuals so
+        training replays shading without re-running any winner search;
+        with param_inputs=True the plan refreshes per step at zero
+        recompile cost."""
         rows = self._opts.height - row0 if rows is None else rows
         return self._render(row0, rows, True, eps, self._sphc, self._albt)

@@ -47,11 +47,28 @@ class PlanTracer:
         self._light = 0
 
     @staticmethod
-    def for_plan(plan, n_spheres: int, n_planes: int):
+    def for_plan(plan, n_spheres: int, n_planes: int, max_depth: int = None,
+                 glass: bool = False):
         """Build from a (win_planes, occ_planes) pair whose planes already
-        cover exactly the rays about to be traced (band-local)."""
+        cover exactly the rays about to be traced (band-local).
+
+        Glass plans carry one plane per recursion NODE, ordered by
+        (bounce, path-prefix p); the uncompacted wavefront's bounce-b buffer
+        is exactly the p-ordered concatenation of that bounce's 2^b node
+        planes (child slot = c·2^b·n + parent slot under the
+        [reflect | refract] concat), so concatenate them here."""
         wins, occs = plan
-        return PlanTracer(list(wins), list(occs), n_spheres, n_planes)
+        if not glass:
+            return PlanTracer(list(wins), list(occs), n_spheres, n_planes)
+        bw, bo, off = [], [], 0
+        for b in range(max_depth + 1):
+            k = 1 << b
+            bw.append(jnp.concatenate(
+                [jnp.asarray(wins[off + p]).reshape(-1) for p in range(k)]))
+            bo.append(jnp.concatenate(
+                [jnp.asarray(occs[off + p]).reshape(-1) for p in range(k)]))
+            off += k
+        return PlanTracer(bw, bo, n_spheres, n_planes)
 
     def _hit_from_win(self, win):
         miss = win < 0
@@ -104,10 +121,16 @@ def replay_render(scene, camera, opts, plan, row0: int = 0,
 
     rows = opts.height - row0 if rows is None else rows
     n_pix = rows * opts.width
-    opts1 = dataclasses.replace(opts, tile_rays=max(opts.tile_rays,
-                                                    -(-n_pix // 8) * 8))
+    # replay runs UNCOMPACTED (plan planes are slot-indexed; glass buffers
+    # double per bounce exactly as the plan's node tree) and single-tile —
+    # memory is bounded by the caller's band size instead
+    opts1 = dataclasses.replace(opts, compact_cap=None,
+                                tile_rays=max(opts.tile_rays,
+                                              -(-n_pix // 8) * 8))
     tracer = PlanTracer.for_plan(plan, scene.spheres.count,
-                                 scene.planes.count)
+                                 scene.planes.count,
+                                 max_depth=opts.max_depth,
+                                 glass=bool(scene.has_glass))
     return renderer.render(scene, camera, opts1, tracer=tracer, row0=row0,
                            rows=rows)
 

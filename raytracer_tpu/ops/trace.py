@@ -285,7 +285,16 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
             checker_mask = checker_mask | is_chk
             checker_albedo = jnp.where(is_chk[:, None], calb, checker_albedo)
 
-    valid = hit.kind != KIND_NONE
+    # A backend may claim a hit whose recompute HERE misses (t = inf): the
+    # search and the recompute evaluate the same formula in different fp
+    # association contexts, and on knife-edge candidates the hit/miss
+    # boundary itself can flip 1 ulp (observed fused-plan ids vs the
+    # row-form recompute, ops/replay.py). Demote such lanes to miss with a
+    # sanitized finite t — an inf t would put NaNs in p and, through the
+    # masked-branch trap, in gradients.
+    ok = jnp.isfinite(t)
+    t = jnp.where(ok, t, 0.0)
+    valid = (hit.kind != KIND_NONE) & ok
     p = orig + t[:, None] * direc
     albedo = pgather(scene.materials.albedo, mat_id)
     albedo = jnp.where(checker_mask[:, None], checker_albedo, albedo)

@@ -101,8 +101,39 @@ def test_param_bind_matches_rebake(c2):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-def test_plan_rejects_glass():
+def test_glass_plan_node_count():
     scene, cam, opts = presets.PRESETS["config3"]()
-    opts = dataclasses.replace(opts, width=32, height=32)
-    with pytest.raises(AssertionError):
-        FusedWhitted(scene, cam, opts).render_plan()
+    opts = dataclasses.replace(opts, width=32, height=32, max_depth=2)
+    _, wins, occs = FusedWhitted(scene, cam, opts).render_plan()
+    assert len(wins) == len(occs) == 2 ** 3 - 1  # full node tree at D=2
+
+
+@pytest.mark.slow
+def test_glass_replay_image_and_grads():
+    """Glass plans: the 2^(D+1)-1 node tree replays through the uncompacted
+    wavefront. Image matches to the knife-edge subtree class (an id flip at
+    depth b re-roots a whole subtree); center grads essentially exact,
+    albedo grads within the flipped-pixel bound."""
+    scene, cam, opts = presets.PRESETS["config3"]()
+    opts = dataclasses.replace(opts, width=48, height=48)
+    fused = FusedWhitted(scene, cam, opts)
+    _, wins, occs = fused.render_plan()
+    assert len(wins) == 2 ** (opts.max_depth + 1) - 1
+    ref = render(scene, cam, dataclasses.replace(opts, compact_cap=None))[0]
+    img = replay_render(scene, cam, opts, (wins, occs))[0]
+    d = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+    assert np.isfinite(np.asarray(img)).all()
+    assert (d > 1.5 / 255).mean() < 0.02
+    assert np.median(d) == 0.0
+
+    params = _params(scene)
+    target = ref * 0.9
+    v1, g1 = value_and_grad_banded(_apply, params, scene, cam, opts, target)
+    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+    v2, g2 = value_and_grad_replay(
+        _apply, params, scene, cam, opts, target,
+        lambda p: fp.bind(center=p["center"], albedo=p["albedo"]))
+    assert abs(float(v1) - float(v2)) < 0.1 * abs(float(v1))
+    for k, tol in (("center", 1e-4), ("albedo", 0.05)):
+        scale = float(jnp.abs(g1[k]).max()) + 1e-9
+        assert float(jnp.abs(g1[k] - g2[k]).max()) <= tol * scale
