@@ -28,6 +28,8 @@ def _supervise_optimize(args):
             "--log-every", str(args.log_every)]
     if args.lr is not None:
         base += ["--lr", str(args.lr)]
+    if getattr(args, "plan", False):
+        base += ["--plan"]
     wait = recovery_wait_s()
     for attempt in range(args.max_restarts + 1):
         cmd = base + (["--resume"] if (attempt or args.resume) else [])
