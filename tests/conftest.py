@@ -17,10 +17,15 @@ if os.environ.get("RT_TESTS_TPU") != "1":
 # persistent compile cache: the suite is compile-bound (~19 min cold); jitted
 # programs (render_banded bands, grad programs, …) reload across runs/sessions.
 # Only jax.jit-ed computations are cached — eager op-by-op dispatch is not.
+# SEPARATE dir from the bench/CLI `.jax_cache`: a pytest run concurrent with
+# another cache-writing python process segfaulted inside the cache READ
+# (jax _cache_read deserializing a racing entry, observed 2026-08-20);
+# tests themselves are a single serial process, so a private dir removes
+# the only writer/reader race.
 try:
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+        ".jax_cache_tests"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
