@@ -101,7 +101,23 @@ def test_param_bind_matches_rebake(c2):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-def test_glass_plan_node_count():
+@pytest.fixture
+def no_compile_cache():
+    """Glass-plan programs (62 pallas outputs) deterministically SEGFAULT
+    in jax's persistent-cache DESERIALIZATION when loaded late in a full
+    suite run (observed 3×, 2026-08-20: cold compile passes, standalone
+    cache-read passes, in-suite cache-read crashes in
+    compilation_cache.get_executable_and_time). Bypass the cache for these
+    tests — recompiling costs ~40 s and dodges the jaxlib bug."""
+    import jax
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_glass_plan_node_count(no_compile_cache):
     scene, cam, opts = presets.PRESETS["config3"]()
     opts = dataclasses.replace(opts, width=32, height=32, max_depth=2)
     _, wins, occs = FusedWhitted(scene, cam, opts).render_plan()
@@ -109,7 +125,7 @@ def test_glass_plan_node_count():
 
 
 @pytest.mark.slow
-def test_glass_replay_image_and_grads():
+def test_glass_replay_image_and_grads(no_compile_cache):
     """Glass plans: the 2^(D+1)-1 node tree replays through the uncompacted
     wavefront. Image matches to the knife-edge subtree class (an id flip at
     depth b re-roots a whole subtree); center grads essentially exact,
