@@ -101,55 +101,82 @@ def test_param_bind_matches_rebake(c2):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-@pytest.fixture
-def no_compile_cache():
-    """Glass-plan programs (62 pallas outputs) deterministically SEGFAULT
-    in jax's persistent-cache DESERIALIZATION when loaded late in a full
-    suite run (observed 3×, 2026-08-20: cold compile passes, standalone
-    cache-read passes, in-suite cache-read crashes in
-    compilation_cache.get_executable_and_time). Bypass the cache for these
-    tests — recompiling costs ~40 s and dodges the jaxlib bug."""
-    import jax
+def _run_isolated(code: str, timeout=1500):
+    """Run a check in a FRESH python process.
 
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
+    Compiling a glass-plan program (14+ pallas outputs) inside a process
+    that has already compiled the full suite's ~150 programs segfaults in
+    XLA:CPU backend_compile_and_load (observed 4x, 2026-08-20 — cache on
+    or off; the same compile succeeds every time in a fresh process).
+    Process-level isolation is the only reliable workaround."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, f"isolated check failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
 
 
-def test_glass_plan_node_count(no_compile_cache):
-    scene, cam, opts = presets.PRESETS["config3"]()
-    opts = dataclasses.replace(opts, width=32, height=32, max_depth=2)
-    _, wins, occs = FusedWhitted(scene, cam, opts).render_plan()
-    assert len(wins) == len(occs) == 2 ** 3 - 1  # full node tree at D=2
+def test_glass_plan_node_count():
+    _run_isolated("""
+import jax, dataclasses
+jax.config.update('jax_platforms', 'cpu')
+from raytracer_tpu.models import presets
+from raytracer_tpu.ops.fused import FusedWhitted
+scene, cam, opts = presets.PRESETS['config3']()
+opts = dataclasses.replace(opts, width=32, height=32, max_depth=2)
+_, wins, occs = FusedWhitted(scene, cam, opts).render_plan()
+assert len(wins) == len(occs) == 2 ** 3 - 1, (len(wins), len(occs))
+""")
 
 
 @pytest.mark.slow
-def test_glass_replay_image_and_grads(no_compile_cache):
+def test_glass_replay_image_and_grads():
     """Glass plans: the 2^(D+1)-1 node tree replays through the uncompacted
     wavefront. Image matches to the knife-edge subtree class (an id flip at
     depth b re-roots a whole subtree); center grads essentially exact,
-    albedo grads within the flipped-pixel bound."""
-    scene, cam, opts = presets.PRESETS["config3"]()
-    opts = dataclasses.replace(opts, width=48, height=48)
-    fused = FusedWhitted(scene, cam, opts)
-    _, wins, occs = fused.render_plan()
-    assert len(wins) == 2 ** (opts.max_depth + 1) - 1
-    ref = render(scene, cam, dataclasses.replace(opts, compact_cap=None))[0]
-    img = replay_render(scene, cam, opts, (wins, occs))[0]
-    d = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
-    assert np.isfinite(np.asarray(img)).all()
-    assert (d > 1.5 / 255).mean() < 0.02
-    assert np.median(d) == 0.0
+    albedo grads within the flipped-pixel bound. Subprocess-isolated (see
+    _run_isolated)."""
+    _run_isolated("""
+import jax, dataclasses
+import numpy as np
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+from raytracer_tpu.models import presets
+from raytracer_tpu.renderer import render, value_and_grad_banded
+from raytracer_tpu.ops.fused import FusedWhitted
+from raytracer_tpu.ops.replay import replay_render, value_and_grad_replay
 
-    params = _params(scene)
-    target = ref * 0.9
-    v1, g1 = value_and_grad_banded(_apply, params, scene, cam, opts, target)
-    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
-    v2, g2 = value_and_grad_replay(
-        _apply, params, scene, cam, opts, target,
-        lambda p: fp.bind(center=p["center"], albedo=p["albedo"]))
-    assert abs(float(v1) - float(v2)) < 0.1 * abs(float(v1))
-    for k, tol in (("center", 1e-4), ("albedo", 0.05)):
-        scale = float(jnp.abs(g1[k]).max()) + 1e-9
-        assert float(jnp.abs(g1[k] - g2[k]).max()) <= tol * scale
+scene, cam, opts = presets.PRESETS['config3']()
+opts = dataclasses.replace(opts, width=48, height=48)
+fused = FusedWhitted(scene, cam, opts)
+_, wins, occs = fused.render_plan()
+assert len(wins) == 2 ** (opts.max_depth + 1) - 1
+ref = render(scene, cam, dataclasses.replace(opts, compact_cap=None))[0]
+img = replay_render(scene, cam, opts, (wins, occs))[0]
+d = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+assert np.isfinite(np.asarray(img)).all()
+assert (d > 1.5 / 255).mean() < 0.02
+assert np.median(d) == 0.0
+
+params = {'center': jnp.asarray(scene.spheres.center),
+          'albedo': jnp.asarray(scene.materials.albedo)}
+def _apply(s, p):
+    return s.replace(
+        spheres=dataclasses.replace(s.spheres, center=p['center']),
+        materials=dataclasses.replace(s.materials, albedo=p['albedo']))
+target = ref * 0.9
+v1, g1 = value_and_grad_banded(_apply, params, scene, cam, opts, target)
+fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+v2, g2 = value_and_grad_replay(
+    _apply, params, scene, cam, opts, target,
+    lambda p: fp.bind(center=p['center'], albedo=p['albedo']))
+assert abs(float(v1) - float(v2)) < 0.1 * abs(float(v1))
+for k, tol in (('center', 1e-4), ('albedo', 0.05)):
+    scale = float(jnp.abs(g1[k]).max()) + 1e-9
+    assert float(jnp.abs(g1[k] - g2[k]).max()) <= tol * scale
+""", timeout=2400)
