@@ -285,11 +285,17 @@ def cmd_optimize(args):
             return fused.bind(center=q["center"],
                               albedo=jnp.clip(q["albedo"], 0.0, 1.0))
 
+        # a STABLE function object: it is the static `apply_params` argument
+        # of the jitted replay band program — a fresh lambda per step would
+        # be a jit cache miss (full retrace + recompile every optimizer step)
+        def _apply2(_s, q):
+            return apply_params(q)
+
         upd_jit = jax.jit(lambda g, s, p: opt.update(g, s, p))
 
         def step(p, s):
             val, g = value_and_grad_replay(
-                lambda _s, q: apply_params(q), p, init, cam, opts, timg,
+                _apply2, p, init, cam, opts, timg,
                 _builder)
             upd, s = upd_jit(g, s, p)
             return optax.apply_updates(p, upd), s, val

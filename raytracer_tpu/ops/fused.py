@@ -231,6 +231,11 @@ class FusedWhitted:
         # path. p is exactly the wavefront's uncompacted buffer-slot prefix
         # (child slot = c·2^depth + parent slot under the [reflect|refract]
         # concat), so the replay concatenates bounce-b planes in p order.
+        if emit_plan:
+            # the occlusion plane packs one bit per light into an int32 —
+            # more lights would silently shift-overflow into wrong shadows
+            assert len(self.lights) <= 32, \
+                "plan emission packs per-light occlusion into int32 bits"
         if has_glass:
             node_off = lambda b: (1 << b) - 1
             n_nodes = (1 << (opts.max_depth + 1)) - 1

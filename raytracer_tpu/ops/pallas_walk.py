@@ -215,7 +215,7 @@ def _walk_call(planes, table, *, res, capacity, n_tris, t_min, max_iters,
                           occlusion, width),
         grid=(nb,),
         in_specs=[row] * len(planes) + [
-            pl.BlockSpec(memory_space=pltpu.ANY)],
+            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(row, row),
         out_shape=(jax.ShapeDtypeStruct((nb, br), jnp.float32),
                    jax.ShapeDtypeStruct((nb, br), jnp.int32)),

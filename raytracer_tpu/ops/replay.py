@@ -106,44 +106,112 @@ class PlanTracer:
         return ((occ >> li) & 1).astype(bool)
 
 
+def _pad_plane(x, n_pix: int, n_pad: int, fill):
+    x = jnp.reshape(jnp.asarray(x), (-1,))
+    assert x.shape[0] == n_pix, (x.shape, n_pix)
+    if n_pad == n_pix:
+        return x
+    return jnp.concatenate([x, jnp.full((n_pad - n_pix,), fill, x.dtype)])
+
+
 def replay_render(scene, camera, opts, plan, row0: int = 0,
-                  rows: int | None = None):
+                  rows: int | None = None, tile_rays: int | None = None):
     """Render a band by replaying `plan` (band-local planes from
     `FusedWhitted.render_plan(row0, rows)`).
 
     Identical structure to renderer.render but with the winner search
-    replaced by the recorded plan; runs single-tile (the plan planes are
-    indexed by band ray order, which a tile scan would interleave).
+    replaced by the recorded plan. `tile_rays=None` runs the band as one
+    tile (plan planes cover the band in ray order); an int tiles the band
+    into `tile_rays`-lane wavefronts scanned sequentially — each tile
+    replays its contiguous slice of every plan plane. Any two scanned tile
+    sizes are bitwise-identical (per-pixel math and fold order are
+    lane-local); scan-vs-single-tile differs only by XLA's per-context fp
+    association — measured the IDENTICAL pixel set and magnitude as
+    renderer.render's own tile-vs-single-tile delta. Tiling applies the
+    VMEM-residency lesson
+    (docs/ARCH.md "the VMEM tile cliff") to the replay backward: residual
+    buffers scale with the tile, not the band. Pad lanes (band not a tile
+    multiple) replay a miss plan (-1/0) and are sliced off — also fixes the
+    8-lane-alignment crash when rows·width % 8 != 0.
     """
     import dataclasses
 
     from raytracer_tpu import renderer
+    from raytracer_tpu.ops import geometry as geom
+    from raytracer_tpu.ops.safemath import clamp01
 
     rows = opts.height - row0 if rows is None else rows
-    n_pix = rows * opts.width
+    w, h = opts.width, opts.height
+    n_pix = rows * w
+    glass = bool(scene.has_glass)
+    ns, npl = scene.spheres.count, scene.planes.count
+    wins, occs = plan
+    if tile_rays is None:
+        tile = -(-n_pix // 8) * 8
+    else:
+        tile = min(int(tile_rays), -(-n_pix // 8) * 8)
+    n_pad = -(-n_pix // tile) * tile
     # replay runs UNCOMPACTED (plan planes are slot-indexed; glass buffers
-    # double per bounce exactly as the plan's node tree) and single-tile —
-    # memory is bounded by the caller's band size instead
-    opts1 = dataclasses.replace(opts, compact_cap=None,
-                                tile_rays=max(opts.tile_rays,
-                                              -(-n_pix // 8) * 8))
-    tracer = PlanTracer.for_plan(plan, scene.spheres.count,
-                                 scene.planes.count,
-                                 max_depth=opts.max_depth,
-                                 glass=bool(scene.has_glass))
-    return renderer.render(scene, camera, opts1, tracer=tracer, row0=row0,
-                           rows=rows)
+    # double per bounce exactly as the plan's node tree); memory is bounded
+    # by the tile (or the caller's band size when single-tile)
+    opts1 = dataclasses.replace(opts, compact_cap=None, tile_rays=tile)
+    wins = [_pad_plane(x, n_pix, n_pad, -1) for x in wins]
+    occs = [_pad_plane(x, n_pix, n_pad, 0) for x in occs]
+
+    if n_pad == tile:
+        tracer = PlanTracer.for_plan((wins, occs), ns, npl,
+                                     max_depth=opts.max_depth, glass=glass)
+        out = renderer.render(scene, camera, opts1, tracer=tracer, row0=row0,
+                              rows=rows)
+        return out
+
+    # tiled replay: scan contiguous tiles of (dirs, plan-plane slices).
+    # Tile k's lanes are band slots [k·tile, (k+1)·tile) — the same contiguous
+    # split renderer.render uses for non-compacted scenes — so each node
+    # plane slices to [ntiles, tile] and rides the scan as xs.
+    scene_j = scene  # render_rays converts; keep host numpy until then
+    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
+                       row0=row0, rows=rows)
+    if n_pad != n_pix:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
+                                    (n_pad - n_pix, 3))])
+    dirs = dirs.reshape(-1, tile, 3)
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
+    wins_x = jnp.stack([x.reshape(-1, tile) for x in wins], axis=1)
+    occs_x = jnp.stack([x.reshape(-1, tile) for x in occs], axis=1)
+
+    def tile_fn(carry, xs):
+        tdirs, w_sl, o_sl = xs
+        tracer = PlanTracer.for_plan((list(w_sl), list(o_sl)), ns, npl,
+                                     max_depth=opts.max_depth, glass=glass)
+        rad, traced = renderer.render_rays(scene_j, orig, tdirs, opts1,
+                                           tracer=tracer)
+        return carry + traced, rad
+
+    if opts.remat_tiles:
+        if opts.remat_policy == "plan":
+            tile_fn = jax.checkpoint(
+                tile_fn, policy=jax.checkpoint_policies.save_only_these_names(
+                    "trace_plan"))
+        else:
+            tile_fn = jax.checkpoint(tile_fn)
+    traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32),
+                               (dirs, wins_x, occs_x))
+    img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(rows, w, 3)
+    return img, traced
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("apply_params", "opts", "rb"))
+                   static_argnames=("apply_params", "opts", "rb", "tile"))
 def _replay_band_vg(params, scene, camera, target, plan, r0, *,
-                    apply_params, opts, rb):
+                    apply_params, opts, rb, tile=None):
     # traced r0: bands of one height share a single compiled program, as in
     # renderer._band_vg
     def band_loss(p):
         s = apply_params(scene, p)
-        img = replay_render(s, camera, opts, plan, row0=r0, rows=rb)[0]
+        img = replay_render(s, camera, opts, plan, row0=r0, rows=rb,
+                            tile_rays=tile)[0]
         want = jax.lax.dynamic_slice_in_dim(target, r0, rb, 0)
         return jnp.sum((img - want) ** 2) / (opts.width * opts.height * 3)
 
@@ -151,7 +219,8 @@ def _replay_band_vg(params, scene, camera, target, plan, r0, *,
 
 
 def value_and_grad_replay(apply_params, params, scene, camera, opts, target,
-                          fused_builder, band_rows: int | None = None):
+                          fused_builder, band_rows: int | None = None,
+                          tile_rays: int | None = None):
     """Pixel-L2 loss + grads via fused-plan replay (non-glass scenes).
 
     Per band: (1) `fused_builder(params)` → a FusedWhitted whose
@@ -166,7 +235,8 @@ def value_and_grad_replay(apply_params, params, scene, camera, opts, target,
     `lambda p: fused.bind(center=p["center"], albedo=p["albedo"])`) —
     plans then refresh per step with no recompile. A builder that BAKES
     params recompiles every step. Band programs are jit-cached per
-    (opts, r0, rb) like renderer._band_vg.
+    (opts, r0, rb) like renderer._band_vg. `tile_rays` tiles each band's
+    replay (None = single-tile; see replay_render).
     """
     band_rows = opts.height if band_rows is None else band_rows
     fused = fused_builder(params)
@@ -176,7 +246,8 @@ def value_and_grad_replay(apply_params, params, scene, camera, opts, target,
         out = fused.render_plan(row0=r0, rows=rb)
         plan = jax.lax.stop_gradient((out[1], out[2]))
         v, g = _replay_band_vg(params, scene, camera, target, plan, r0,
-                               apply_params=apply_params, opts=opts, rb=rb)
+                               apply_params=apply_params, opts=opts, rb=rb,
+                               tile=tile_rays)
         val = v if val is None else val + v
         grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
     return val, grads

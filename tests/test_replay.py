@@ -88,6 +88,49 @@ def test_replay_grads_match_banded(c2, param_inputs):
         assert float(jnp.abs(g1[k] - g2[k]).max()) <= 2e-3 * scale
 
 
+def test_replay_tiled(c2):
+    """Tiled replay (tile_rays < band): any two SCANNED tilings are bitwise
+    equal; scan-vs-single-tile sits in renderer.render's own per-context fp
+    association class; odd (non-multiple-of-8) bands pad cleanly (the old
+    single-tile path asserted on them); grads match the banded reference."""
+    scene, cam, opts = c2
+    fused = FusedWhitted(scene, cam, opts)
+    _, wins, occs = fused.render_plan()
+    plan = (wins, occs)
+    single = np.asarray(replay_render(scene, cam, opts, plan)[0])
+    t1 = np.asarray(replay_render(scene, cam, opts, plan, tile_rays=512)[0])
+    t2 = np.asarray(replay_render(scene, cam, opts, plan, tile_rays=1024)[0])
+    np.testing.assert_array_equal(t1, t2)
+    ref_t = np.asarray(render(
+        scene, cam, dataclasses.replace(opts, tile_rays=512))[0])
+    # scan-context twin: tiled replay == tiled wavefront render off edges
+    d = np.abs(t1 - ref_t).max(axis=-1)
+    assert (d > 1.5 / 255).mean() < 0.002 and np.median(d) == 0.0
+    d1 = np.abs(t1 - single).max(axis=-1)
+    assert d1.max() < 1e-3  # association class only
+
+    # odd band: 31x42 = 1302 lanes (not a multiple of 8)
+    odd = dataclasses.replace(opts, width=42, height=31)
+    fo = FusedWhitted(scene, cam, odd)
+    io_, w_, o_ = fo.render_plan()
+    ro = replay_render(scene, cam, odd, (w_, o_))[0]
+    assert ro.shape == (31, 42, 3) and bool(jnp.isfinite(ro).all())
+
+    # gradient path with tiling
+    params = _params(scene)
+    target = render(scene, cam, opts)[0] * 0.9
+    v1, g1 = value_and_grad_banded(_apply, params, scene, cam, opts, target)
+    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+    builder = lambda p: fp.bind(center=p["center"], albedo=p["albedo"])
+    v2, g2 = value_and_grad_replay(_apply, params, scene, cam, opts, target,
+                                   builder, tile_rays=512)
+    assert abs(float(v1) - float(v2)) < 1e-4 * max(abs(float(v1)), 1e-9) \
+        + 1e-8
+    for k in g1:
+        scale = float(jnp.abs(g1[k]).max()) + 1e-9
+        assert float(jnp.abs(g1[k] - g2[k]).max()) <= 2e-3 * scale
+
+
 def test_param_bind_matches_rebake(c2):
     scene, cam, opts = c2
     fp = FusedWhitted(scene, cam, opts, param_inputs=True)
