@@ -439,6 +439,132 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
                          fixed_steps, max_iters)
 
 
+def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
+                    occlusion_max_t=None, active=None):
+    """Two-phase visit-list DDA → (best_t [N], best_idx [N]).
+
+    The classic walk (grid_walk) interleaves traversal and evaluation: every
+    while-iteration gathers a full [N, capacity] candidate row (~5 KB/lane at
+    the shipping cap-128 grid) even when the lane's cell is EMPTY — and at
+    density 0.125 most DDA steps land in empty cells, while occupied cells
+    average ~41 listed triangles against the 128-slot padding. This variant
+    decouples the two:
+
+      phase 1 (thin): pure DDA over the whole traversal, gathering only the
+        1-byte `cell_occ` flag per step; occupied-cell ids and their exit t
+        are recorded into per-lane visit lists [N, V] (V = nx+ny+nz+2, the
+        static max — exact by construction, no overflow case). Lanes run to
+        grid exit (nearest) or past the light (occlusion): without t's there
+        is no early-park, but each iteration moves ~3 orders of magnitude
+        fewer bytes.
+      phase 2 (fat): a while_loop over VISIT SLOTS — gather + Möller–Trumbore
+        the [N, capacity] candidates of visit j, fold, and park exactly like
+        the classic walk (best_t <= exit_t of the just-evaluated cell; any-hit
+        parks on best_t < max_t). Trip count = the max number of OCCUPIED
+        cells any live lane must actually evaluate (mean ~5 on config4) —
+        empty cells never reach this loop.
+
+    Per-candidate arithmetic, gather shapes, fold order, and the cross-step
+    lowest-id tie rule are identical to grid_walk, so results are BITWISE
+    equal (tests assert exact equality), knife edges included.
+    """
+    n = orig.shape[0]
+    nx, ny, nz = grid.res
+    resv = jnp.asarray([nx, ny, nz], jnp.int32)
+    v0p, e1p, e2p = _pad_soa(v0, e1, e2)
+
+    best_t, best_i, cell, tmax, step, tdelta, act0 = walk_init(
+        grid, orig, direc, t_min, active)
+    V = nx + ny + nz + 2
+    col = jnp.arange(V, dtype=jnp.int32)[None, :]
+
+    def dda_step(cell, tmax, may):
+        axis = jnp.argmin(tmax, axis=1)
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        cell_n = cell + onehot * step
+        tmax_n = tmax + onehot.astype(tmax.dtype) * tdelta
+        out = jnp.any((cell_n < 0) | (cell_n >= resv[None, :]), axis=1)
+        cell = jnp.where(may[:, None], cell_n, cell)
+        tmax = jnp.where(may[:, None], tmax_n, tmax)
+        return cell, tmax, ~(may & out)
+
+    # ---- phase 1: record occupied-cell visits ---------------------------
+    def cond1(s):
+        it, cell, tmax, act, visited, exit_t, vcount = s
+        return jnp.any(act) & (it < V)
+
+    def body1(s):
+        it, cell, tmax, act, visited, exit_t, vcount = s
+        cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
+        occ = grid.cell_occ[jnp.where(act, cid, 0)] > 0
+        t_exit = jnp.min(tmax, axis=1)
+        rec = act & occ
+        m = rec[:, None] & (col == vcount[:, None])
+        visited = jnp.where(m, cid[:, None], visited)
+        exit_t = jnp.where(m, t_exit[:, None], exit_t)
+        vcount = vcount + rec.astype(jnp.int32)
+        if occlusion_max_t is not None:
+            # the cell whose exit lies past the light is still recorded
+            # (classic walk evaluates it before parking); stop advancing after
+            act = act & (t_exit <= occlusion_max_t)
+        else:
+            # conservative park on the PRE-walk best (overflow-brute hit):
+            # the running best in phase 2 can only be nearer, so any lane the
+            # classic walk parks here is parked no later — the current cell
+            # was already recorded above, matching classic's park-after-eval
+            act = act & (best_t > t_exit)
+        cell, tmax, still_in = dda_step(cell, tmax, act)
+        act = act & still_in
+        return it + 1, cell, tmax, act, visited, exit_t, vcount
+
+    visited = jnp.zeros((n, V), jnp.int32)
+    exit_t = jnp.full((n, V), INF, jnp.float32)
+    vcount = jnp.zeros((n,), jnp.int32)
+    act1 = act0
+    if occlusion_max_t is not None:
+        act1 = act1 & ~(best_t < occlusion_max_t)  # brute already occluded
+    with jax.named_scope("grid_visit_scan"):
+        _, _, _, _, visited, exit_t, vcount = jax.lax.while_loop(
+            cond1, body1, (jnp.zeros((), jnp.int32), cell, tmax, act1,
+                           visited, exit_t, vcount))
+
+    # ---- phase 2: evaluate the visit lists ------------------------------
+    def parked(best_t):
+        if occlusion_max_t is not None:
+            return best_t < occlusion_max_t
+        return jnp.zeros_like(best_t, bool)
+
+    done0 = ~act0 | (vcount == 0) | parked(best_t)
+
+    def cond2(s):
+        j, best_t, best_i, done = s
+        return jnp.any(~done) & (j < V)
+
+    def body2(s):
+        j, best_t, best_i, done = s
+        cid = jax.lax.dynamic_slice_in_dim(visited, j, 1, axis=1)[:, 0]
+        live = ~done & (j < vcount)
+        idx = jnp.where(live, cid, 0)
+        ts, tids = _eval_candidates(orig, direc, idx, grid.cell_soa,
+                                    grid.cell_tris, v0p, e1p, e2p, t_min)
+        ts = jnp.where(live[:, None], ts, INF)
+        tc = jnp.min(ts, axis=1)
+        ic = jnp.min(jnp.where(ts <= tc[:, None], tids, grid.n_tris), axis=1)
+        better = (tc < best_t) | ((tc == best_t) & (ic < best_i))
+        best_t = jnp.where(better, tc, best_t)
+        best_i = jnp.where(better, ic, best_i)
+        et = jax.lax.dynamic_slice_in_dim(exit_t, j, 1, axis=1)[:, 0]
+        done |= (best_t <= et) | parked(best_t) | (j + 1 >= vcount)
+        return j + 1, best_t, best_i, done
+
+    scope = ("grid_visit_eval_occl" if occlusion_max_t is not None
+             else "grid_visit_eval")
+    with jax.named_scope(scope):
+        _, best_t, best_i, _ = jax.lax.while_loop(
+            cond2, body2, (jnp.zeros((), jnp.int32), best_t, best_i, done0))
+    return best_t, best_i
+
+
 def _run_walk(cond, body, cell, tmax, best_t, best_i, active, fixed_steps,
               max_iters):
     state = (jnp.zeros((), jnp.int32), cell, tmax, best_t, best_i, active)
@@ -481,13 +607,15 @@ class GridTracer:
         if fanout is None:
             fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
         self._fanout = max(1, fanout)
-        # walk backend: 'xla' (default, the shipping while_loop walk) or
-        # 'pallas' (ops/pallas_walk.py — the fused-kernel twin; correctness
-        # coverage + a program shape that dodges the ~3M-unit XLA grid
-        # fault; slower, see its module docstring)
+        # walk backend: 'xla' (the classic interleaved while_loop walk),
+        # 'visit' (two-phase visit-list walk — thin traversal + fat eval of
+        # only the occupied-cell visits, see grid_walk_visit), or 'pallas'
+        # (ops/pallas_walk.py — the fused-kernel twin; correctness coverage
+        # + a program shape that dodges the ~3M-unit XLA grid fault; slower,
+        # see its module docstring)
         if walk is None:
             walk = os.environ.get("RT_GRID_WALK", "xla")
-        assert walk in ("xla", "pallas"), walk
+        assert walk in ("xla", "visit", "pallas"), walk
         self._walk = walk
         self._table = None
         if walk == "pallas":
@@ -557,6 +685,9 @@ class GridTracer:
 
             tb, ib = pallas_grid_walk(self._grid, self._table, orig, direc,
                                       t_min, active=active)
+        elif self._walk == "visit":
+            tb, ib = grid_walk_visit(self._grid, v0, e1, e2, orig, direc,
+                                     t_min, active=active)
         else:
             tb, ib = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                                fixed_steps=self._fixed, skip_steps=self._skip,
@@ -582,6 +713,10 @@ class GridTracer:
             tb, _ = pallas_grid_walk(self._grid, self._table, orig, direc,
                                      t_min, occlusion_max_t=max_t,
                                      active=active)
+        elif self._walk == "visit":
+            tb, _ = grid_walk_visit(self._grid, v0, e1, e2, orig, direc,
+                                    t_min, occlusion_max_t=max_t,
+                                    active=active)
         else:
             tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                               occlusion_max_t=max_t, fixed_steps=self._fixed,

@@ -59,6 +59,42 @@ def test_grid_render_small_capacity_overflow(mesh_scene):
     assert_images_close(img, ref, tol=1e-6, max_bad_frac=0.001, name="grid-ovf")
 
 
+def test_grid_visit_walk_bitwise_identical(mesh_scene):
+    """Two-phase visit-list walk (grid_walk_visit): renders bitwise-equal to
+    the classic interleaved walk — same candidate shapes, fold order, and tie
+    rule; only the traversal/eval schedule differs. Covers nearest, shadow
+    occlusion, the active mask, and an overflow (capacity-2) build."""
+    scene, cam, opts = mesh_scene
+    for cap in (None, 2):
+        tr0 = GridTracer.build(scene, capacity=cap)
+        tr1 = GridTracer.build(scene, capacity=cap, walk="visit")
+        a = np.asarray(render(scene, cam, opts, tracer=tr0)[0])
+        b = np.asarray(render(scene, cam, opts, tracer=tr1)[0])
+        np.testing.assert_array_equal(a, b)
+
+    from raytracer_tpu.accel.grid import grid_walk_visit
+    from raytracer_tpu.core.types import as_jax
+
+    sj = as_jax(scene)
+    v0, e1, e2 = sj.meshes.tri_soa()
+    tr0 = GridTracer.build(scene)
+    g = tr0._grid
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.normal(0, 2, (512, 3)).astype(np.float32)
+                    + np.array([0, 0, -5.5], np.float32))
+    d = rng.normal(0, 1, (512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    act = jnp.asarray(rng.random(512) < 0.3)
+    ta, ia = grid_walk(g, v0, e1, e2, o, d, 1e-3, active=act)
+    tb, ib = grid_walk_visit(g, v0, e1, e2, o, d, 1e-3, active=act)
+    assert jnp.array_equal(ta, tb) and jnp.array_equal(ia, ib)
+    mt = jnp.full((512,), 5.0)
+    oa, _ = grid_walk(g, v0, e1, e2, o, d, 1e-3, occlusion_max_t=mt)
+    ob, _ = grid_walk_visit(g, v0, e1, e2, o, d, 1e-3, occlusion_max_t=mt)
+    assert jnp.array_equal(oa < mt, ob < mt)
+
+
 def test_grid_pregather_bitwise_identical(mesh_scene):
     """cell_soa pre-gather is a pure layout change: the walk must return
     bit-identical (t, idx) to the gather-per-step path on every ray."""
