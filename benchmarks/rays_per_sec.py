@@ -269,6 +269,11 @@ def _phase_fwd_timed(config, repeats=2, **kw):
         # before timing — the permanent ~25 ms sync-dispatch poisoning
         # (CLAUDE.md rule 3) that invalidates the measurement.
         scene_h, cam_h, _ = presets.PRESETS[config]()
+        if os.environ.get("RT_BENCH_LIGHTS"):  # attribution sweeps only
+            nl = int(os.environ["RT_BENCH_LIGHTS"])
+            scene_h = scene_h.replace(lights=dataclasses.replace(
+                scene_h.lights, pos=scene_h.lights.pos[:nl],
+                intensity=scene_h.lights.intensity[:nl]))
         assert fused_mod.supported(scene_h), \
             "RT_BENCH_FUSED needs a scene without big meshes"
         tile_env = os.environ.get("RT_FUSED_TILE")

@@ -92,8 +92,48 @@ class FusedWhitted:
         # (bench _grad_params / config5) without a rebuild+recompile per
         # step — the enabler for fused-plan training (ops/replay.py).
         self._param = bool(param_inputs)
-        self._sphc = np.asarray(s.spheres.center, np.float32).reshape(-1, 3)
-        self._albt = np.asarray(s.materials.albedo, np.float32).reshape(-1, 3)
+        # RT_FUSED_STRIP (ATTRIBUTION ONLY — images are wrong): build a
+        # stage-stripped kernel so sync A/Bs can budget the full kernel's
+        # time per stage (VERDICT r3 ask #2). Values:
+        #   raygen   — ray dirs written as rgb; no trace/shade
+        #   trace    — winner search only; best_t written as rgb
+        #   noshadow — full shading minus the per-light occlusion traces
+        #   nopow    — full minus the Phong specular pow transcendental
+        import os as _os
+
+        self._strip = _os.environ.get("RT_FUSED_STRIP", "")
+        assert self._strip in ("", "raygen", "trace", "noshadow", "nopow"), \
+            self._strip
+        # param-mode SMEM tables — EVERY C13-validated class the fused path
+        # can carry (triangle vertices stay wavefront-only, documented):
+        #   sph [S,4]  cx cy cz r
+        #   pln [P,9]  point(3) normal(3) albedo2(3)
+        #   mat [M,7]  albedo(3) kd ks spec_n ior
+        #   lgt [L,6]  pos(3) intensity(3)
+        def _pad1(a):  # SMEM inputs need ≥1 row even for absent prim kinds
+            return a if a.shape[0] else np.zeros((1,) + a.shape[1:],
+                                                 np.float32)
+
+        self._psph = _pad1(np.concatenate(
+            [np.asarray(s.spheres.center, np.float32).reshape(-1, 3),
+             np.asarray(s.spheres.radius, np.float32).reshape(-1, 1)],
+            axis=1))
+        self._ppln = _pad1(np.concatenate(
+            [np.asarray(s.planes.point, np.float32).reshape(-1, 3),
+             np.asarray(s.planes.normal, np.float32).reshape(-1, 3),
+             np.asarray(s.planes.albedo2, np.float32).reshape(-1, 3)],
+            axis=1))
+        self._pmat = _pad1(np.concatenate(
+            [np.asarray(s.materials.albedo, np.float32).reshape(-1, 3),
+             np.asarray(s.materials.kd, np.float32).reshape(-1, 1),
+             np.asarray(s.materials.ks, np.float32).reshape(-1, 1),
+             np.asarray(s.materials.spec_n, np.float32).reshape(-1, 1),
+             np.asarray(s.materials.ior, np.float32).reshape(-1, 1)],
+            axis=1))
+        self._plgt = _pad1(np.concatenate(
+            [np.asarray(s.lights.pos, np.float32).reshape(-1, 3),
+             np.asarray(s.lights.intensity, np.float32).reshape(-1, 3)],
+            axis=1))
 
         mats = s.materials
         self.spheres = [
@@ -108,7 +148,7 @@ class FusedWhitted:
                  bit=tuple(map(float, s.planes.bitangent[i])),
                  checker=bool(s.planes.checker[i]),
                  cscale=float(s.planes.checker_scale[i]),
-                 alb2=tuple(map(float, s.planes.albedo2[i])),
+                 alb2=tuple(map(float, s.planes.albedo2[i])), pi=i,
                  **self._mat(mats, int(s.planes.mat_id[i])))
             for i in range(s.planes.count)]
         self.tris = []
@@ -152,14 +192,17 @@ class FusedWhitted:
     def _dot(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-    # -- intersection t against one primitive (constants baked; param-mode
-    # passes the ref-resolved center via `c`) --------------------------
-    def _sphere_t(self, o, d, sp, t_min, c=None):
-        c = sp["c"] if c is None else c
+    # -- intersection t against one primitive. `acc` (accessor dict, built
+    # in _kernel) resolves trainable constants: baked python floats in
+    # serving mode, SMEM scalar reads in param mode — the arithmetic is the
+    # same expression either way. ----------------------------------------
+    def _sphere_t(self, o, d, sp, t_min, acc):
+        c = acc["sph_c"](sp)
+        r = acc["sph_r"](sp)
         L = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
         a = self._dot(d, d)
         b = 2.0 * self._dot(d, L)
-        c0 = self._dot(L, L) - sp["r"] * sp["r"]
+        c0 = self._dot(L, L) - r * r
         disc = b * b - 4.0 * a * c0
         has = disc >= 0  # radius > 0 statically
         sq = jnp.sqrt(jnp.maximum(jnp.where(has, disc, 1.0), 1e-12))
@@ -173,12 +216,13 @@ class FusedWhitted:
         t = jnp.where(tlo > t_min, tlo, jnp.where(thi > t_min, thi, jnp.inf))
         return jnp.where(has, t, jnp.inf)
 
-    def _plane_t(self, o, d, pln, t_min):
-        n = pln["n"]
+    def _plane_t(self, o, d, pln, t_min, acc):
+        n = acc["pln_n"](pln)
+        p = acc["pln_p"](pln)
         denom = d[0] * n[0] + d[1] * n[1] + d[2] * n[2]
         valid = jnp.abs(denom) > _DET_EPS
-        num = ((pln["p"][0] - o[0]) * n[0] + (pln["p"][1] - o[1]) * n[1]
-               + (pln["p"][2] - o[2]) * n[2])
+        num = ((p[0] - o[0]) * n[0] + (p[1] - o[1]) * n[1]
+               + (p[2] - o[2]) * n[2])
         t = jnp.where(valid, num / jnp.where(valid, denom, 1.0), -jnp.inf)
         return jnp.where(valid & (t > t_min), t, jnp.inf)
 
@@ -201,13 +245,12 @@ class FusedWhitted:
         ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > t_min)
         return jnp.where(ok, t, jnp.inf)
 
-    def _occluded(self, o, d, max_t, t_min, sph_c=None):
+    def _occluded(self, o, d, max_t, t_min, acc):
         occ = jnp.zeros_like(max_t, bool)
         for sp in self.spheres:
-            c = None if sph_c is None else sph_c(sp)
-            occ |= self._sphere_t(o, d, sp, t_min, c=c) < max_t
+            occ |= self._sphere_t(o, d, sp, t_min, acc) < max_t
         for pln in self.planes:
-            occ |= self._plane_t(o, d, pln, t_min) < max_t
+            occ |= self._plane_t(o, d, pln, t_min, acc) < max_t
         for tr in self.tris:
             occ |= self._tri_t(o, d, tr, t_min) < max_t
         return occ
@@ -247,24 +290,48 @@ class FusedWhitted:
         TR, TC = self._tile
 
         param = self._param
+        strip = self._strip
 
         def kernel(eps_ref, *refs):
             if param:
-                sphc_ref, alb_ref = refs[0], refs[1]
-                refs = refs[2:]
+                sph_ref, pln_ref, mat_ref, lgt_ref = refs[:4]
+                refs = refs[4:]
             r_ref, g_ref, b_ref, *plan_refs = refs
 
             # param-mode accessors: SMEM scalar reads (static indices) in
-            # place of baked constants — 0-d values broadcast over [TR,TC]
-            def sph_c(sp):
-                if param:
-                    return tuple(sphc_ref[sp["si"], k] for k in range(3))
-                return sp["c"]
+            # place of baked constants — 0-d values broadcast over [TR,TC].
+            # Every accessor returns python floats in serving mode, so the
+            # baked kernel is textually identical to before param mode.
+            def _vec3(ref, row, c0):
+                return tuple(ref[row, c0 + k] for k in range(3))
 
-            def mat_alb(prm):
-                if param:
-                    return tuple(alb_ref[prm["mid"], k] for k in range(3))
-                return prm["albedo"]
+            acc = {
+                "sph_c": (lambda sp: _vec3(sph_ref, sp["si"], 0)) if param
+                else (lambda sp: sp["c"]),
+                "sph_r": (lambda sp: sph_ref[sp["si"], 3]) if param
+                else (lambda sp: sp["r"]),
+                "pln_p": (lambda pl_: _vec3(pln_ref, pl_["pi"], 0)) if param
+                else (lambda pl_: pl_["p"]),
+                "pln_n": (lambda pl_: _vec3(pln_ref, pl_["pi"], 3)) if param
+                else (lambda pl_: pl_["n"]),
+                "pln_a2": (lambda pl_: _vec3(pln_ref, pl_["pi"], 6)) if param
+                else (lambda pl_: pl_["alb2"]),
+                "mat_alb": (lambda prm: _vec3(mat_ref, prm["mid"], 0))
+                if param else (lambda prm: prm["albedo"]),
+                "mat_kd": (lambda prm: mat_ref[prm["mid"], 3]) if param
+                else (lambda prm: prm["kd"]),
+                "mat_ks": (lambda prm: mat_ref[prm["mid"], 4]) if param
+                else (lambda prm: prm["ks"]),
+                "mat_specn": (lambda prm: mat_ref[prm["mid"], 5]) if param
+                else (lambda prm: prm["spec_n"]),
+                "mat_ior": (lambda prm: mat_ref[prm["mid"], 6]) if param
+                else (lambda prm: prm["ior"]),
+                "lgt_pos": (lambda li: _vec3(lgt_ref, li, 0)) if param
+                else (lambda li: self.lights[li][0]),
+                "lgt_int": (lambda li: _vec3(lgt_ref, li, 3)) if param
+                else (lambda li: self.lights[li][1]),
+            }
+            mat_alb = acc["mat_alb"]
             # eps (always 0) threads a data dependency through the camera so
             # dependency-chain timing works (benchmarks/rays_per_sec.py); it
             # also future-proofs camera jitter without a rebuild.
@@ -289,6 +356,11 @@ class FusedWhitted:
             o = (jnp.full((TR, TC), self.cam_pos[0]) + eps,
                  jnp.full((TR, TC), self.cam_pos[1]),
                  jnp.full((TR, TC), self.cam_pos[2]))
+            if strip == "raygen":  # attribution probe: dirs as rgb, stop
+                r_ref[:] = d[0]
+                g_ref[:] = d[1]
+                b_ref[:] = d[2]
+                return
 
             def radiance(o, d, depth, path=0):
                 """Whitted castRay, statically unrolled depth-first.
@@ -302,14 +374,18 @@ class FusedWhitted:
                 best_t = jnp.full((TR, TC), jnp.inf)
                 win = jnp.full((TR, TC), -1, jnp.int32)
                 for i, (kind, prm) in enumerate(prims):
-                    ti = (self._sphere_t(o, d, prm, t_min, c=sph_c(prm))
+                    ti = (self._sphere_t(o, d, prm, t_min, acc)
                           if kind == "s"
-                          else self._plane_t(o, d, prm, t_min) if kind == "p"
+                          else self._plane_t(o, d, prm, t_min, acc)
+                          if kind == "p"
                           else self._tri_t(o, d, prm, t_min))
                     better = ti < best_t
                     best_t = jnp.where(better, ti, best_t)
                     win = jnp.where(better, i, win)
                 valid = win >= 0
+                if strip == "trace":  # attribution probe: search only
+                    tt0 = jnp.where(valid, best_t, 0.0)
+                    return [tt0, win.astype(jnp.float32), tt0]
                 if emit_plan:
                     # the render "plan" for this node: fused prim index
                     # (-1 = miss). Replay maps it to (kind, idx) wavefront
@@ -331,24 +407,27 @@ class FusedWhitted:
                     msk = win == i
                     alb_i = mat_alb(prm)
                     if kind == "s":
-                        inv_r = 1.0 / prm["r"]
-                        cc = sph_c(prm)
+                        inv_r = 1.0 / acc["sph_r"](prm)
+                        cc = acc["sph_c"](prm)
                         ni = tuple((p[k] - cc[k]) * inv_r
                                    for k in range(3))
                         ai = (jnp.full((TR, TC), alb_i[0]),
                               jnp.full((TR, TC), alb_i[1]),
                               jnp.full((TR, TC), alb_i[2]))
                     elif kind == "p":
-                        ni = tuple(jnp.full((TR, TC), prm["n"][k])
+                        pn = acc["pln_n"](prm)
+                        ni = tuple(jnp.full((TR, TC), pn[k])
                                    for k in range(3))
                         if prm["checker"]:
-                            rel = tuple(p[k] - prm["p"][k] for k in range(3))
+                            pp = acc["pln_p"](prm)
+                            a2 = acc["pln_a2"](prm)
+                            rel = tuple(p[k] - pp[k] for k in range(3))
                             u = self._dot(rel, prm["tan"]) * prm["cscale"]
                             v = self._dot(rel, prm["bit"]) * prm["cscale"]
                             fu = u - jnp.floor(u)
                             fv = v - jnp.floor(v)
                             pat = (fu > 0.5) ^ (fv > 0.5)
-                            ai = tuple(jnp.where(pat, prm["alb2"][k],
+                            ai = tuple(jnp.where(pat, a2[k],
                                                  alb_i[k])
                                        for k in range(3))
                         else:
@@ -362,10 +441,10 @@ class FusedWhitted:
                     for k in range(3):
                         nrm[k] = jnp.where(msk, ni[k], nrm[k])
                         alb[k] = jnp.where(msk, ai[k], alb[k])
-                    kd = jnp.where(msk, prm["kd"], kd)
-                    ks = jnp.where(msk, prm["ks"], ks)
-                    spec_n = jnp.where(msk, prm["spec_n"], spec_n)
-                    ior = jnp.where(msk, prm["ior"], ior)
+                    kd = jnp.where(msk, acc["mat_kd"](prm), kd)
+                    ks = jnp.where(msk, acc["mat_ks"](prm), ks)
+                    spec_n = jnp.where(msk, acc["mat_specn"](prm), spec_n)
+                    ior = jnp.where(msk, acc["mat_ior"](prm), ior)
                     if prm["mirror"]:
                         is_mir |= msk
                     if prm["glass"]:
@@ -383,7 +462,9 @@ class FusedWhitted:
                 lamt = [jnp.zeros((TR, TC), jnp.float32) for _ in range(3)]
                 spec = [jnp.zeros((TR, TC), jnp.float32) for _ in range(3)]
                 occ_acc = jnp.zeros((TR, TC), jnp.int32)
-                for li, (lpos, lint) in enumerate(self.lights):
+                for li in range(len(self.lights)):
+                    lpos = acc["lgt_pos"](li)
+                    lint = acc["lgt_int"](li)
                     lvec = tuple(lpos[k] - p[k] for k in range(3))
                     d2 = self._dot(lvec, lvec)
                     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -391,8 +472,11 @@ class FusedWhitted:
                     il = 1.0 / jnp.maximum(dist, 1e-12)
                     ldir = tuple(lvec[k] * il for k in range(3))
                     ldn = jnp.maximum(0.0, self._dot(ldir, nrm))
-                    shadowed = self._occluded(so, ldir, dist, t_min,
-                                              sph_c=sph_c)
+                    if strip == "noshadow":  # attribution probe
+                        shadowed = jnp.zeros((TR, TC), bool)
+                    else:
+                        shadowed = self._occluded(so, ldir, dist, t_min,
+                                                  acc)
                     if emit_plan:  # bit li of the bounce's occlusion mask
                         occ_acc |= shadowed.astype(jnp.int32) << li
                     vis = jnp.where(shadowed, 0.0, 1.0)
@@ -401,9 +485,12 @@ class FusedWhitted:
                     rl = tuple(-ldir[k] + 2.0 * mld * nrm[k]
                                for k in range(3))
                     base = -self._dot(rl, d)
-                    pw = jnp.where(base > 0,
-                                   jnp.power(jnp.maximum(base, 1e-7),
-                                             spec_n), 0.0)
+                    if strip == "nopow":  # attribution probe: linear spec
+                        pw = jnp.maximum(base, 0.0)
+                    else:
+                        pw = jnp.where(base > 0,
+                                       jnp.power(jnp.maximum(base, 1e-7),
+                                                 spec_n), 0.0)
                     for k in range(3):
                         lamt[k] += vis * ldn * lint[k]
                         spec[k] += pw * lint[k]
@@ -503,8 +590,8 @@ class FusedWhitted:
         return kernel
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-    def _render(self, row0: int, rows: int, emit_plan: bool, eps, sphc,
-                albt):
+    def _render(self, row0: int, rows: int, emit_plan: bool, eps, sph, pln,
+                mat, lgt):
         opts = self._opts
         TR, TC = self._tile
         h, w = opts.height, opts.width
@@ -524,8 +611,8 @@ class FusedWhitted:
         ins = [eps2]
         in_specs = [smem(eps2)]
         if self._param:
-            ins += [jnp.asarray(sphc, jnp.float32).reshape(-1, 3),
-                    jnp.asarray(albt, jnp.float32).reshape(-1, 3)]
+            ins += [jnp.asarray(a, jnp.float32)
+                    for a in (sph, pln, mat, lgt)]
             in_specs += [smem(a) for a in ins[1:]]
         out = pl.pallas_call(
             self._kernel(row0, h, w, emit_plan=emit_plan), grid=grid,
@@ -540,14 +627,46 @@ class FusedWhitted:
         plan = tuple(pl_[:rows, :w] for pl_ in out[3:])
         return img, plan[:n_nodes], plan[n_nodes:]
 
-    def bind(self, center=None, albedo=None):
-        """Param-mode: set the live sphere-center / material-albedo inputs
-        (no recompile — they are kernel inputs). Returns self."""
+    def bind(self, center=None, albedo=None, radius=None, kd=None, ks=None,
+             spec_n=None, ior=None, plane_point=None, plane_normal=None,
+             plane_albedo2=None, light_pos=None, light_intensity=None):
+        """Param-mode: set the live trainable-parameter inputs (no recompile
+        — they are SMEM kernel inputs, packed into 4 small tables). Covers
+        every C13 parameter class the fused path carries: sphere
+        center/radius, material albedo/kd/ks/spec_n/ior, plane
+        point/normal/albedo2, light pos/intensity. (Triangle vertices stay
+        wavefront-only — baked like the rest of the mesh.) Returns self."""
         assert self._param, "build with param_inputs=True to bind params"
+
+        def _upd(tab, col, val, width):
+            val = jnp.asarray(val, jnp.float32).reshape(-1, width)
+            return jnp.asarray(tab, jnp.float32).at[
+                :val.shape[0], col:col + width].set(val)
+
         if center is not None:
-            self._sphc = center
+            self._psph = _upd(self._psph, 0, center, 3)
+        if radius is not None:
+            self._psph = _upd(self._psph, 3, radius, 1)
+        if plane_point is not None:
+            self._ppln = _upd(self._ppln, 0, plane_point, 3)
+        if plane_normal is not None:
+            self._ppln = _upd(self._ppln, 3, plane_normal, 3)
+        if plane_albedo2 is not None:
+            self._ppln = _upd(self._ppln, 6, plane_albedo2, 3)
         if albedo is not None:
-            self._albt = albedo
+            self._pmat = _upd(self._pmat, 0, albedo, 3)
+        if kd is not None:
+            self._pmat = _upd(self._pmat, 3, kd, 1)
+        if ks is not None:
+            self._pmat = _upd(self._pmat, 4, ks, 1)
+        if spec_n is not None:
+            self._pmat = _upd(self._pmat, 5, spec_n, 1)
+        if ior is not None:
+            self._pmat = _upd(self._pmat, 6, ior, 1)
+        if light_pos is not None:
+            self._plgt = _upd(self._plgt, 0, light_pos, 3)
+        if light_intensity is not None:
+            self._plgt = _upd(self._plgt, 3, light_intensity, 3)
         return self
 
     def render(self, row0: int = 0, rows: int | None = None, eps=0.0):
@@ -556,7 +675,8 @@ class FusedWhitted:
         `eps` (keep 0) perturbs the camera x — the data-dependency hook for
         chained timing."""
         rows = self._opts.height - row0 if rows is None else rows
-        return self._render(row0, rows, False, eps, self._sphc, self._albt)
+        return self._render(row0, rows, False, eps, self._psph, self._ppln,
+                            self._pmat, self._plgt)
 
     def render_plan(self, row0: int = 0, rows: int | None = None, eps=0.0):
         """→ (image, win_planes, occ_planes): the forward render PLUS the
@@ -570,4 +690,5 @@ class FusedWhitted:
         with param_inputs=True the plan refreshes per step at zero
         recompile cost."""
         rows = self._opts.height - row0 if rows is None else rows
-        return self._render(row0, rows, True, eps, self._sphc, self._albt)
+        return self._render(row0, rows, True, eps, self._psph, self._ppln,
+                            self._pmat, self._plgt)

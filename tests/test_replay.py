@@ -144,6 +144,107 @@ def test_param_bind_matches_rebake(c2):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+_CLASSES = {
+    # param class -> (scene graft, bind kwarg)
+    "center": lambda s, v: s.replace(
+        spheres=dataclasses.replace(s.spheres, center=v)),
+    "radius": lambda s, v: s.replace(
+        spheres=dataclasses.replace(s.spheres, radius=v)),
+    "albedo": lambda s, v: s.replace(
+        materials=dataclasses.replace(s.materials, albedo=v)),
+    "ks": lambda s, v: s.replace(
+        materials=dataclasses.replace(s.materials, ks=v)),
+    "spec_n": lambda s, v: s.replace(
+        materials=dataclasses.replace(s.materials, spec_n=v)),
+    "plane_point": lambda s, v: s.replace(
+        planes=dataclasses.replace(s.planes, point=v)),
+    "plane_albedo2": lambda s, v: s.replace(
+        planes=dataclasses.replace(s.planes, albedo2=v)),
+    "light_pos": lambda s, v: s.replace(
+        lights=dataclasses.replace(s.lights, pos=v)),
+    "light_intensity": lambda s, v: s.replace(
+        lights=dataclasses.replace(s.lights, intensity=v)),
+}
+
+_INIT = {
+    "center": lambda s: s.spheres.center,
+    "radius": lambda s: s.spheres.radius,
+    "albedo": lambda s: s.materials.albedo,
+    "ks": lambda s: s.materials.ks,
+    "spec_n": lambda s: s.materials.spec_n,
+    "plane_point": lambda s: s.planes.point,
+    "plane_albedo2": lambda s: s.planes.albedo2,
+    "light_pos": lambda s: s.lights.pos,
+    "light_intensity": lambda s: s.lights.intensity,
+}
+
+
+@pytest.mark.parametrize("cls", sorted(_CLASSES))
+def test_replay_grads_every_param_class(c2, cls):
+    """VERDICT r3 ask #4: the fused-plan training path must carry EVERY
+    C13 parameter class, not just centers+albedo — per class, bind() feeds
+    the param-input kernel (plan refresh, no recompile) and the replay
+    grads agree with the banded wavefront reference."""
+    scene, cam, opts = c2
+    params = {cls: jnp.asarray(_INIT[cls](scene))}
+
+    def apply_c(s, p):
+        return _CLASSES[cls](s, p[cls])
+
+    target = render(scene, cam, opts)[0] * 0.9
+    v1, g1 = value_and_grad_banded(apply_c, params, scene, cam, opts, target)
+    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+    builder = lambda p: fp.bind(**{cls: p[cls]})
+    v2, g2 = value_and_grad_replay(apply_c, params, scene, cam, opts, target,
+                                   builder)
+    assert abs(float(v1) - float(v2)) < 1e-4 * max(abs(float(v1)), 1e-9) \
+        + 1e-8
+    g1v, g2v = g1[cls], g2[cls]
+    scale = float(jnp.abs(g1v).max()) + 1e-9
+    assert float(jnp.abs(g1v - g2v).max()) <= 2e-3 * scale, cls
+
+
+def test_replay_zero_recompiles_mixed_params(c2):
+    """10 optimizer-ish steps moving EVERY bound class: the band program and
+    the fused kernel must each compile exactly once (jit cache size 1)."""
+    scene, cam, opts = c2
+    fp = FusedWhitted(scene, cam, opts, param_inputs=True)
+    params = {
+        "center": jnp.asarray(scene.spheres.center),
+        "radius": jnp.asarray(scene.spheres.radius),
+        "albedo": jnp.asarray(scene.materials.albedo),
+        "ks": jnp.asarray(scene.materials.ks),
+        "light_pos": jnp.asarray(scene.lights.pos),
+    }
+
+    def apply_m(s, p):
+        s = s.replace(spheres=dataclasses.replace(
+            s.spheres, center=p["center"], radius=p["radius"]))
+        s = s.replace(materials=dataclasses.replace(
+            s.materials, albedo=p["albedo"], ks=p["ks"]))
+        return s.replace(lights=dataclasses.replace(
+            s.lights, pos=p["light_pos"]))
+
+    def builder(p):
+        return fp.bind(center=p["center"], radius=p["radius"],
+                       albedo=p["albedo"], ks=p["ks"],
+                       light_pos=p["light_pos"])
+
+    from raytracer_tpu.ops.replay import _replay_band_vg
+
+    target = render(scene, cam, opts)[0] * 0.9
+    vg0 = None
+    for i in range(10):
+        p = jax.tree.map(lambda x: x * (1.0 + 0.001 * i), params)
+        value_and_grad_replay(apply_m, p, scene, cam, opts, target, builder)
+        if i == 0:  # everything is compiled after the first step
+            vg0 = _replay_band_vg._cache_size()
+            f0 = fp._render._cache_size()
+    assert fp._render._cache_size() == f0, (f0, fp._render._cache_size())
+    assert _replay_band_vg._cache_size() == vg0, \
+        (vg0, _replay_band_vg._cache_size())
+
+
 def _run_isolated(code: str, timeout=1500):
     """Run a check in a FRESH python process.
 
