@@ -440,7 +440,8 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
 
 def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
-                    occlusion_max_t=None, active=None):
+                    occlusion_max_t=None, active=None,
+                    scan_fanout: int | None = None):
     """Two-phase visit-list DDA → (best_t [N], best_idx [N]).
 
     The classic walk (grid_walk) interleaves traversal and evaluation: every
@@ -467,7 +468,19 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
     Per-candidate arithmetic, gather shapes, fold order, and the cross-step
     lowest-id tie rule are identical to grid_walk, so results are BITWISE
     equal (tests assert exact equality), knife edges included.
+
+    `scan_fanout=K` (env RT_VISIT_FANOUT, default 1) advances K cells per
+    phase-1 while-iteration: at VMEM-resident tile widths the walk cost is
+    dominated by a per-ITERATION fixed cost (BENCH_LOG r3-k ~13.6 µs), and
+    the phase-1 body is thin (1-byte occ gathers) — unlike the classic
+    walk's fat-gather fanout (CLOSED, r3-k), batching thin steps divides
+    the iteration count nearly for free. Results identical for any K.
     """
+    import os
+
+    if scan_fanout is None:
+        scan_fanout = int(os.environ.get("RT_VISIT_FANOUT", 1))
+    scan_fanout = max(1, scan_fanout)
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -493,8 +506,7 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
         it, cell, tmax, act, visited, exit_t, vcount = s
         return jnp.any(act) & (it < V)
 
-    def body1(s):
-        it, cell, tmax, act, visited, exit_t, vcount = s
+    def substep(cell, tmax, act, visited, exit_t, vcount):
         cid = (cell[:, 0] * ny + cell[:, 1]) * nz + cell[:, 2]
         occ = grid.cell_occ[jnp.where(act, cid, 0)] > 0
         t_exit = jnp.min(tmax, axis=1)
@@ -515,7 +527,14 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
             act = act & (best_t > t_exit)
         cell, tmax, still_in = dda_step(cell, tmax, act)
         act = act & still_in
-        return it + 1, cell, tmax, act, visited, exit_t, vcount
+        return cell, tmax, act, visited, exit_t, vcount
+
+    def body1(s):
+        it, cell, tmax, act, visited, exit_t, vcount = s
+        for _ in range(scan_fanout):
+            cell, tmax, act, visited, exit_t, vcount = substep(
+                cell, tmax, act, visited, exit_t, vcount)
+        return it + scan_fanout, cell, tmax, act, visited, exit_t, vcount
 
     visited = jnp.zeros((n, V), jnp.int32)
     exit_t = jnp.full((n, V), INF, jnp.float32)

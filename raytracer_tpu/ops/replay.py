@@ -106,6 +106,162 @@ class PlanTracer:
         return ((occ >> li) & 1).astype(bool)
 
 
+def _prim_flags(scene):
+    """Bool tables over the FUSED prim index (sphere<plane<tri):
+    (is_spec, is_glass) — which winner ids spawn reflect / refract children.
+    Used to derive the compaction permutation from a plan alone. Traceable
+    (runs inside the jitted band program on a traced scene)."""
+    from raytracer_tpu.core.types import REFLECTION, REFLECTION_AND_REFRACTION
+
+    mt = jnp.asarray(scene.materials.mtype)
+    mids = jnp.concatenate([
+        jnp.reshape(jnp.asarray(scene.spheres.mat_id, jnp.int32), (-1,)),
+        jnp.reshape(jnp.asarray(scene.planes.mat_id, jnp.int32), (-1,)),
+        jnp.reshape(jnp.asarray(scene.meshes.mat_id, jnp.int32), (-1,))])
+    kinds = mt[mids]
+    is_gls = kinds == REFLECTION_AND_REFRACTION
+    is_spec = (kinds == REFLECTION) | is_gls
+    return jax.lax.stop_gradient(is_spec), jax.lax.stop_gradient(is_gls)
+
+
+def _partition(alive, cap: int):
+    """Stable alive-first permutation prefix (renderer._compact's math):
+    → (order [cap], pos [n], kept [cap], dropped). Index-only, stop-grad."""
+    n = alive.shape[0]
+    ai = alive.astype(jnp.int32)
+    n_alive = jnp.sum(ai)
+    pos = jnp.where(alive, jnp.cumsum(ai) - 1,
+                    n_alive + jnp.cumsum(1 - ai) - 1)
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)[:cap]
+    kept = jnp.arange(cap) < n_alive
+    dropped = jnp.maximum(n_alive - cap, 0).astype(jnp.float32)
+    return (jax.lax.stop_gradient(order), jax.lax.stop_gradient(pos), kept,
+            dropped)
+
+
+def _plan_compaction(plan, scene, n0: int, max_depth: int, cap: int):
+    """Derive the per-bounce compaction schedule from a glass plan ALONE.
+
+    The plan's winner ids fix which lanes spawn children (reflect: any
+    specular hit; refract: glass hits — TIR is not in the plan, so refract
+    lanes are a SUPERSET of the truly-alive set: safe, they just ride as
+    zero-throughput lanes). That makes the whole alive→permutation chain
+    computable before the differentiable replay runs: the replay then
+    executes at cap-bounded width with precomputed permutations
+    (permute_take carries the transpose-gather VJP) and NO dynamic
+    partition inside the differentiated graph — the r3-l lever
+    (docs/ARCH.md "Fused-plan replay").
+
+    Returns (planes, compacts, dropped):
+      planes  — per bounce b: (win [w_b], occ [w_b]) in the COMPACTED lane
+                order of that bounce, plus pix [w_b] (carried pixel ids)
+      compacts — per bounce b < D: None, or (order, pos, kept) to apply to
+                the children of bounce b
+    """
+    wins, occs = plan
+    spec_tab, gls_tab = _prim_flags(scene)
+    # concat node planes per bounce in path-prefix order (= uncompacted slot
+    # order; see PlanTracer.for_plan)
+    wb_all, ob_all, off = [], [], 0
+    for b in range(max_depth + 1):
+        k = 1 << b
+        wb_all.append(jnp.concatenate(
+            [jnp.reshape(wins[off + p], (-1,)) for p in range(k)]))
+        ob_all.append(jnp.concatenate(
+            [jnp.reshape(occs[off + p], (-1,)) for p in range(k)]))
+        off += k
+
+    cur_slots = jnp.arange(n0, dtype=jnp.int32)
+    cur_alive = jnp.ones((n0,), bool)
+    planes, compacts = [], []
+    dropped = jnp.zeros((), jnp.float32)
+    for b in range(max_depth + 1):
+        win_b = wb_all[b][cur_slots]
+        occ_b = ob_all[b][cur_slots]
+        planes.append((win_b, occ_b, cur_slots % n0))
+        if b == max_depth:
+            break
+        hit = cur_alive & (win_b >= 0)
+        wsafe = jnp.maximum(win_b, 0)
+        spec = hit & spec_tab[wsafe]
+        gls = hit & gls_tab[wsafe]
+        w_unc = (1 << b) * n0  # uncompacted width of bounce b
+        child_slots = jnp.concatenate([cur_slots, cur_slots + w_unc])
+        child_alive = jnp.concatenate([spec, gls])
+        if child_slots.shape[0] > cap:
+            order, pos, kept, drop = _partition(child_alive, cap)
+            cur_slots = child_slots[order]
+            cur_alive = child_alive[order] & kept
+            compacts.append((order, pos, kept))
+            dropped = dropped + drop
+        else:
+            cur_slots = child_slots
+            cur_alive = child_alive
+            compacts.append(None)
+    return planes, compacts, dropped
+
+
+def _replay_render_compact(scene, camera, opts, plan, row0: int, rows: int):
+    """Glass replay at plan-compacted width (single tile per band).
+
+    → (img, rays_traced≡0, dropped): `dropped` counts plan-alive lanes lost
+    to the cap (0 ⇒ exact, same gate as the wavefront compact path)."""
+    import dataclasses
+
+    from raytracer_tpu import renderer
+    from raytracer_tpu.ops import geometry as geom
+    from raytracer_tpu.ops.dgather import permute_take
+    from raytracer_tpu.ops.safemath import clamp01
+    from raytracer_tpu.core.types import as_jax
+
+    w = opts.width
+    n_pix = rows * w
+    n0 = -(-n_pix // 8) * 8
+    cap = renderer._cap_lanes(opts.compact_cap, n0)
+    wins = [_pad_plane(x, n_pix, n0, -1) for x in plan[0]]
+    occs = [_pad_plane(x, n_pix, n0, 0) for x in plan[1]]
+    planes, compacts, dropped = _plan_compaction(
+        (wins, occs), scene, n0, opts.max_depth, cap)
+    tracer = PlanTracer([p[0] for p in planes], [p[1] for p in planes],
+                        scene.spheres.count, scene.planes.count)
+    opts1 = dataclasses.replace(opts, compact_cap=None)
+
+    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w,
+                       opts.height, row0=row0, rows=rows)
+    if n0 != n_pix:
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
+                                    (n0 - n_pix, 3))])
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (n0, 3))
+    scene_j = as_jax(scene)
+
+    radiance = jnp.zeros((n0, 3), jnp.float32)
+    state = (orig, dirs, jnp.ones((n0, 3), jnp.float32),
+             jnp.ones((n0,), bool))
+    pix = None
+    for b in range(opts.max_depth + 1):
+        terms, state, _ = renderer.bounce_step(
+            scene_j, state, opts1, n0, is_last=b == opts.max_depth,
+            tracer=tracer, pix=pix)
+        for t in terms:
+            radiance = radiance + t
+        if state is None:
+            break
+        if pix is not None:
+            *state, pix = state
+        if compacts[b] is not None:
+            order, pos, kept = compacts[b]
+            o, d, thr, alive = state
+            state = (permute_take(o, order, pos), permute_take(d, order, pos),
+                     permute_take(thr, order, pos), alive[order] & kept)
+            pix = planes[b + 1][2]
+        # (no compaction at this bounce: pix stays as-is — None folds by
+        # reshape, and uncompacted children keep slot%n0 == parent's pixel)
+    img = clamp01(radiance[:n_pix]).reshape(rows, w, 3)
+    return img, jnp.zeros((), jnp.float32), dropped
+
+
 def _pad_plane(x, n_pix: int, n_pad: int, fill):
     x = jnp.reshape(jnp.asarray(x), (-1,))
     assert x.shape[0] == n_pix, (x.shape, n_pix)
@@ -140,10 +296,18 @@ def replay_render(scene, camera, opts, plan, row0: int = 0,
     from raytracer_tpu.ops import geometry as geom
     from raytracer_tpu.ops.safemath import clamp01
 
+    import os
+
     rows = opts.height - row0 if rows is None else rows
     w, h = opts.width, opts.height
     n_pix = rows * w
     glass = bool(scene.has_glass)
+    if (glass and opts.compact_cap is not None
+            and os.environ.get("RT_REPLAY_COMPACT", "1") not in ("", "0")):
+        # plan-driven compacted glass replay (single tile per band): the
+        # plan fixes the permutation chain, so the differentiated graph
+        # runs at cap-bounded width with no dynamic partition
+        return _replay_render_compact(scene, camera, opts, plan, row0, rows)
     ns, npl = scene.spheres.count, scene.planes.count
     wins, occs = plan
     if tile_rays is None:

@@ -323,4 +323,19 @@ assert abs(float(v1) - float(v2)) < 0.1 * abs(float(v1))
 for k, tol in (('center', 1e-4), ('albedo', 0.05)):
     scale = float(jnp.abs(g1[k]).max()) + 1e-9
     assert float(jnp.abs(g1[k] - g2[k]).max()) <= tol * scale
+
+# plan-driven COMPACTED glass replay (opts.compact_cap set): image is
+# bitwise the uncompacted replay (dropped == 0 gate), grads match banded
+opts_c = dataclasses.replace(opts, compact_cap=1.0)
+from raytracer_tpu.ops.replay import replay_render
+img_c, _t, dropped = replay_render(scene, cam, opts_c, (wins, occs))
+assert float(dropped) == 0.0
+assert np.array_equal(np.asarray(img_c), np.asarray(img))
+fp2 = FusedWhitted(scene, cam, opts_c, param_inputs=True)
+v3, g3 = value_and_grad_replay(
+    _apply, params, scene, cam, opts_c, target,
+    lambda p: fp2.bind(center=p['center'], albedo=p['albedo']))
+for k, tol in (('center', 1e-3), ('albedo', 0.05)):
+    scale = float(jnp.abs(g1[k]).max()) + 1e-9
+    assert float(jnp.abs(g1[k] - g3[k]).max()) <= tol * scale
 """, timeout=2400)
