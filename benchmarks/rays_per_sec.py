@@ -355,11 +355,17 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     target = target * 0.9
     p0 = _grad_params(scene)
     fused = FusedWhitted(scene, cam, opts, param_inputs=True)
-    # glass replays UNCOMPACTED (2^D·band lanes at the last bounce) — band
-    # the frame to bound residual memory; mesh-free otherwise runs whole
+    # glass replays per band to bound residual memory (plan-compacted when
+    # opts.compact_cap is set — ops/replay._replay_render_compact; set
+    # RT_REPLAY_COMPACT=0 for the uncompacted r3-l variant)
     band_rows = None
     if scene.has_glass:
         band_rows = max(64, opts.height // 4)
+    # RT_REPLAY_TILE: tile the non-glass band replay (ops/replay tiled scan;
+    # None/unset = single-tile, the r3-j operating point)
+    tile_rays = None
+    if os.environ.get("RT_REPLAY_TILE"):
+        tile_rays = int(os.environ["RT_REPLAY_TILE"])
 
     def builder(q):
         return fused.bind(center=q["center"], albedo=q["albedo"])
@@ -367,7 +373,8 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     def step(eps):
         p = jax.tree.map(lambda x: x + eps, p0)
         return value_and_grad_replay(_with_params, p, scene, cam, opts,
-                                     target, builder, band_rows=band_rows)
+                                     target, builder, band_rows=band_rows,
+                                     tile_rays=tile_rays)
 
     print("# bwd-replay compile+warm…", file=sys.stderr, flush=True)
     jax.block_until_ready(step(jnp.zeros(())))

@@ -441,7 +441,8 @@ def grid_walk(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
 def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
                     occlusion_max_t=None, active=None,
-                    scan_fanout: int | None = None):
+                    scan_fanout: int | None = None,
+                    eval_fanout: int | None = None):
     """Two-phase visit-list DDA → (best_t [N], best_idx [N]).
 
     The classic walk (grid_walk) interleaves traversal and evaluation: every
@@ -475,12 +476,21 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
     the phase-1 body is thin (1-byte occ gathers) — unlike the classic
     walk's fat-gather fanout (CLOSED, r3-k), batching thin steps divides
     the iteration count nearly for free. Results identical for any K.
+
+    `eval_fanout=J` (env RT_VISIT_EVAL_FANOUT, default 1) evaluates J visit
+    slots per phase-2 iteration: ONE batched [N, J·C] candidate gather, then
+    J SEQUENTIAL masked sub-folds with park checks between them — lanes that
+    park mid-batch mask the remaining sub-folds to INF, so results stay
+    bitwise identical (unlike the classic walk's fanout overrun).
     """
     import os
 
     if scan_fanout is None:
         scan_fanout = int(os.environ.get("RT_VISIT_FANOUT", 1))
     scan_fanout = max(1, scan_fanout)
+    if eval_fanout is None:
+        eval_fanout = int(os.environ.get("RT_VISIT_EVAL_FANOUT", 1))
+    eval_fanout = max(1, eval_fanout)
     n = orig.shape[0]
     nx, ny, nz = grid.res
     resv = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -554,6 +564,12 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
         return jnp.zeros_like(best_t, bool)
 
     done0 = ~act0 | (vcount == 0) | parked(best_t)
+    J = eval_fanout
+    if J > 1:  # pad visit columns so the J-wide dynamic slice never clamps
+        visited = jnp.concatenate(
+            [visited, jnp.zeros((n, J), jnp.int32)], axis=1)
+        exit_t = jnp.concatenate(
+            [exit_t, jnp.full((n, J), INF, jnp.float32)], axis=1)
 
     def cond2(s):
         j, best_t, best_i, done = s
@@ -561,20 +577,30 @@ def grid_walk_visit(grid: GridData, v0, e1, e2, orig, direc, t_min,
 
     def body2(s):
         j, best_t, best_i, done = s
-        cid = jax.lax.dynamic_slice_in_dim(visited, j, 1, axis=1)[:, 0]
-        live = ~done & (j < vcount)
-        idx = jnp.where(live, cid, 0)
+        cids = jax.lax.dynamic_slice_in_dim(visited, j, J, axis=1)
+        ets = jax.lax.dynamic_slice_in_dim(exit_t, j, J, axis=1)
+        idx = cids if J > 1 else cids[:, 0]
+        live0 = ~done & (j < vcount)
+        idx = jnp.where((live0[:, None] if J > 1 else live0), idx, 0)
         ts, tids = _eval_candidates(orig, direc, idx, grid.cell_soa,
                                     grid.cell_tris, v0p, e1p, e2p, t_min)
-        ts = jnp.where(live[:, None], ts, INF)
-        tc = jnp.min(ts, axis=1)
-        ic = jnp.min(jnp.where(ts <= tc[:, None], tids, grid.n_tris), axis=1)
-        better = (tc < best_t) | ((tc == best_t) & (ic < best_i))
-        best_t = jnp.where(better, tc, best_t)
-        best_i = jnp.where(better, ic, best_i)
-        et = jax.lax.dynamic_slice_in_dim(exit_t, j, 1, axis=1)[:, 0]
-        done |= (best_t <= et) | parked(best_t) | (j + 1 >= vcount)
-        return j + 1, best_t, best_i, done
+        c2 = ts.shape[1] // J
+        # J sequential masked sub-folds: lanes parking mid-batch mask the
+        # remaining sub-slots to INF — bitwise the one-visit-per-iteration
+        # schedule (extra gathered rows never fold)
+        for jj in range(J):
+            live = ~done & (j + jj < vcount)
+            tsj = jnp.where(live[:, None], ts[:, jj * c2:(jj + 1) * c2], INF)
+            tc = jnp.min(tsj, axis=1)
+            ic = jnp.min(jnp.where(tsj <= tc[:, None],
+                                   tids[:, jj * c2:(jj + 1) * c2],
+                                   grid.n_tris), axis=1)
+            better = (tc < best_t) | ((tc == best_t) & (ic < best_i))
+            best_t = jnp.where(better, tc, best_t)
+            best_i = jnp.where(better, ic, best_i)
+            done |= (best_t <= ets[:, jj]) | parked(best_t) \
+                | (j + jj + 1 >= vcount)
+        return j + J, best_t, best_i, done
 
     scope = ("grid_visit_eval_occl" if occlusion_max_t is not None
              else "grid_visit_eval")
