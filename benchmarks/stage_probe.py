@@ -48,21 +48,34 @@ from raytracer_tpu.core.types import DIFFUSE_AND_GLOSSY, as_jax
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=216)
+    ap.add_argument("--row0", type=int, default=432,
+                    help="band start row of the 1080p frame (default: a "
+                         "middle band over the mesh — the top band is sky "
+                         "and parks every walk at entry)")
     ap.add_argument("--stage", default="all",
                     choices=["nearest", "shade0", "d0", "d0tiled", "all"])
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--squash", action="store_true",
+                    help="use a 1920x<rows> full-frame projection (the "
+                         "bench's --height workload) instead of a band of "
+                         "the 1080p frame — directly comparable to the "
+                         "rays_per_sec fwd numbers")
     args = ap.parse_args(argv)
 
     scene, cam, opts = presets.PRESETS["config4"]()
     rows = args.rows
+    row0 = args.row0
+    if args.squash:
+        opts = dataclasses.replace(opts, height=rows)
+        row0 = 0
     tracer = GridTracer.build(scene)
     scene_j, cam_j, tracer = jax.device_put((as_jax(scene), cam, tracer))
     w, h = opts.width, opts.height
     n = rows * w
 
     def raygen(eps):
-        d = geom.raygen(cam_j.pos, cam_j.c2w, cam_j.fov_deg, w, h, row0=0,
-                        rows=rows)
+        d = geom.raygen(cam_j.pos, cam_j.c2w, cam_j.fov_deg, w, h,
+                        row0=row0, rows=rows)
         o = jnp.broadcast_to(jnp.asarray(cam_j.pos), (n, 3)) + eps
         return o, d
 
@@ -106,7 +119,7 @@ def main(argv=None):
     def _tiled(s, c, tr):
         from raytracer_tpu.renderer import render
 
-        return render(s, c, o_d0, tracer=tr, row0=0, rows=rows)
+        return render(s, c, o_d0, tracer=tr, row0=row0, rows=rows)
 
     def p_d0tiled(eps):
         c2 = dataclasses.replace(cam_j, pos=cam_j.pos + eps)
@@ -119,7 +132,8 @@ def main(argv=None):
         "d0tiled": p_d0tiled,
     }
     todo = list(stages) if args.stage == "all" else [args.stage]
-    out = {"rows": rows, "lanes": n}
+    out = {"rows": rows, "row0": row0, "lanes": n,
+           "squash": bool(args.squash)}
     for name in todo:
         print(f"# {name} compile+warm…", file=sys.stderr, flush=True)
         _, per = _timer()(stages[name], repeats=args.repeats)
