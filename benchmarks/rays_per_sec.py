@@ -280,8 +280,15 @@ def _phase_fwd_timed(config, repeats=2, **kw):
         tile = (tuple(int(x) for x in tile_env.split(","))
                 if tile_env else None)
         fw = fused_mod.FusedWhitted(scene_h, cam_h, opts, tile=tile)
-        img, t_fwd = _timer()(lambda eps: fw.render(eps=eps),
-                              repeats=repeats)
+        if os.environ.get("RT_FUSED_EMIT_PLAN") == "1":
+            # time the PLAN-emitting forward (the replay planner's cost —
+            # attribution for the fused-plan training path)
+            out, t_fwd = _timer()(lambda eps: fw.render_plan(eps=eps)[0],
+                                  repeats=repeats)
+            img = out
+        else:
+            img, t_fwd = _timer()(lambda eps: fw.render(eps=eps),
+                                  repeats=repeats)
         float(img[0, 0, 0])  # validation readback
         return {"config": config, "width": opts.width, "height": opts.height,
                 "max_depth": opts.max_depth, "fwd_s": t_fwd, "fwd_bands": 1,

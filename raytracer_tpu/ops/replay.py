@@ -217,48 +217,86 @@ def _replay_render_compact(scene, camera, opts, plan, row0: int, rows: int):
 
     w = opts.width
     n_pix = rows * w
-    n0 = -(-n_pix // 8) * 8
-    cap = renderer._cap_lanes(opts.compact_cap, n0)
-    wins = [_pad_plane(x, n_pix, n0, -1) for x in plan[0]]
-    occs = [_pad_plane(x, n_pix, n0, 0) for x in plan[1]]
-    planes, compacts, dropped = _plan_compaction(
-        (wins, occs), scene, n0, opts.max_depth, cap)
-    tracer = PlanTracer([p[0] for p in planes], [p[1] for p in planes],
-                        scene.spheres.count, scene.planes.count)
+    tile = min(opts.tile_rays, -(-n_pix // 8) * 8)
+    n_pad = -(-n_pix // tile) * tile
+    ntiles = n_pad // tile
+    cap = renderer._cap_lanes(opts.compact_cap, tile)
+    wins = [_pad_plane(x, n_pix, n_pad, -1) for x in plan[0]]
+    occs = [_pad_plane(x, n_pix, n_pad, 0) for x in plan[1]]
     opts1 = dataclasses.replace(opts, compact_cap=None)
+    scene_j = as_jax(scene)
 
     dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w,
                        opts.height, row0=row0, rows=rows)
-    if n0 != n_pix:
+    if n_pad != n_pix:
         dirs = jnp.concatenate(
             [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
-                                    (n0 - n_pix, 3))])
-    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (n0, 3))
-    scene_j = as_jax(scene)
+                                    (n_pad - n_pix, 3))])
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
 
-    radiance = jnp.zeros((n0, 3), jnp.float32)
-    state = (orig, dirs, jnp.ones((n0, 3), jnp.float32),
-             jnp.ones((n0,), bool))
-    pix = None
-    for b in range(opts.max_depth + 1):
-        terms, state, _ = renderer.bounce_step(
-            scene_j, state, opts1, n0, is_last=b == opts.max_depth,
-            tracer=tracer, pix=pix)
-        for t in terms:
-            radiance = radiance + t
-        if state is None:
-            break
-        if pix is not None:
-            *state, pix = state
-        if compacts[b] is not None:
-            order, pos, kept = compacts[b]
-            o, d, thr, alive = state
-            state = (permute_take(o, order, pos), permute_take(d, order, pos),
-                     permute_take(thr, order, pos), alive[order] & kept)
-            pix = planes[b + 1][2]
-        # (no compaction at this bounce: pix stays as-is — None folds by
-        # reshape, and uncompacted children keep slot%n0 == parent's pixel)
-    img = clamp01(radiance[:n_pix]).reshape(rows, w, 3)
+    def tile_body(tdirs, win_nodes, occ_nodes):
+        """Plan-compacted bounce loop for one tile → (rad [tile,3], drop)."""
+        planes, compacts, dropped = _plan_compaction(
+            (list(win_nodes), list(occ_nodes)), scene_j, tile,
+            opts.max_depth, cap)
+        tracer = PlanTracer([p[0] for p in planes], [p[1] for p in planes],
+                            scene.spheres.count, scene.planes.count)
+        radiance = jnp.zeros((tile, 3), jnp.float32)
+        state = (orig, tdirs, jnp.ones((tile, 3), jnp.float32),
+                 jnp.ones((tile,), bool))
+        pix = None
+        for b in range(opts.max_depth + 1):
+            terms, state, _ = renderer.bounce_step(
+                scene_j, state, opts1, tile, is_last=b == opts.max_depth,
+                tracer=tracer, pix=pix)
+            for t in terms:
+                radiance = radiance + t
+            if state is None:
+                break
+            if pix is not None:
+                *state, pix = state
+            if compacts[b] is not None:
+                order, pos, kept = compacts[b]
+                o, d, thr, alive = state
+                state = (permute_take(o, order, pos),
+                         permute_take(d, order, pos),
+                         permute_take(thr, order, pos), alive[order] & kept)
+                pix = planes[b + 1][2]
+            # (no compaction at this bounce: pix stays as-is — None folds by
+            # reshape; uncompacted children keep slot%n0 == parent's pixel)
+        return radiance, dropped
+
+    if ntiles == 1:
+        radiance, dropped = tile_body(dirs, wins, occs)
+        img = clamp01(radiance[:n_pix]).reshape(rows, w, 3)
+        return img, jnp.zeros((), jnp.float32), dropped
+
+    # STRIDED tiles, exactly as the compacted wavefront renderer: slot j of
+    # tile k is band slot j·ntiles + k, so every tile samples the band
+    # uniformly and per-tile plan-alive counts track the band occupancy
+    # (renderer.render's strided-compact argument). Each tile derives its
+    # own compaction chain from its plan slice inside the scan — the
+    # VMEM-resident-width structure that beat band-wide compaction 1.9×.
+    dirs_x = dirs.reshape(tile, ntiles, 3).transpose(1, 0, 2)
+    wins_x = jnp.stack([x.reshape(tile, ntiles).T for x in wins], axis=1)
+    occs_x = jnp.stack([x.reshape(tile, ntiles).T for x in occs], axis=1)
+
+    def tile_fn(carry, xs):
+        tdirs, w_sl, o_sl = xs
+        rad, drop = tile_body(tdirs, w_sl, o_sl)
+        return carry + drop, rad
+
+    if opts.remat_tiles:
+        if opts.remat_policy == "plan":
+            tile_fn = jax.checkpoint(
+                tile_fn, policy=jax.checkpoint_policies.save_only_these_names(
+                    "trace_plan"))
+        else:
+            tile_fn = jax.checkpoint(tile_fn)
+    dropped, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32),
+                                (dirs_x, wins_x, occs_x))
+    rad = rad.transpose(1, 0, 2).reshape(n_pad, 3)
+    img = clamp01(rad[:n_pix]).reshape(rows, w, 3)
     return img, jnp.zeros((), jnp.float32), dropped
 
 
