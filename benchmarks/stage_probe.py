@@ -53,7 +53,8 @@ def main(argv=None):
                          "middle band over the mesh — the top band is sky "
                          "and parks every walk at entry)")
     ap.add_argument("--stage", default="all",
-                    choices=["nearest", "shade0", "d0", "d0tiled", "all"])
+                    choices=["nearest", "surf", "shade0", "d0", "occl", "d0tiled",
+                             "all"])
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--squash", action="store_true",
                     help="use a 1920x<rows> full-frame projection (the "
@@ -86,6 +87,13 @@ def main(argv=None):
         return hit.t.sum(), hit.idx.sum()
 
     @jax.jit
+    def p_surf(eps, s, tr):
+        o, d = raygen(eps)
+        hit = tr.nearest(o, d, opts.t_min, opts.tri_chunk)
+        surf = surface_at(s, o, d, hit, opts.t_min)
+        return surf.p.sum() + surf.n.sum() + surf.albedo.sum(), hit.t.sum()
+
+    @jax.jit
     def p_shade0(eps, s, tr):
         o, d = raygen(eps)
         hit = tr.nearest(o, d, opts.t_min, opts.tri_chunk)
@@ -113,6 +121,41 @@ def main(argv=None):
                                opts.tri_chunk, tracer=tr, active=is_diff)
         return jnp.where(is_diff[:, None], rgb, 0.0).sum(), hit.t.sum()
 
+    @jax.jit
+    def _surf_inputs(s, tr):
+        # precomputed OUTSIDE timing: the occlusion walks' inputs
+        o, d = raygen(jnp.zeros(()))
+        hit = tr.nearest(o, d, opts.t_min, opts.tri_chunk)
+        surf = surface_at(s, o, d, hit, opts.t_min)
+        from raytracer_tpu.ops.safemath import dot as _dot
+        sorig = surf.p + jnp.where(_dot(d, surf.n) < 0, 1.0, -1.0)[:, None] \
+            * opts.bias * surf.n
+        is_diff = surf.valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
+        return sorig, surf.p, is_diff
+
+    _SI = None
+
+    def p_occl(eps):
+        # full-width per-light occlusion walks alone (inputs precomputed)
+        nonlocal _SI
+        if _SI is None:
+            _SI = jax.block_until_ready(_surf_inputs(scene_j, tracer))
+        return _p_occl_jit(eps, scene_j, tracer, *_SI)
+
+    @jax.jit
+    def _p_occl_jit(eps, s, tr, sorig, p, is_diff):
+        acc = jnp.zeros((n,), jnp.float32)
+        sorig = sorig + eps
+        for li in range(s.lights.count):
+            lvec = s.lights.pos[li][None, :] - p
+            d2 = jnp.sum(lvec * lvec, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            ldir = lvec / jnp.maximum(dist, 1e-12)[:, None]
+            occ = tr.occluded(sorig, ldir, dist, opts.t_min, opts.tri_chunk,
+                              active=is_diff)
+            acc = acc + occ.astype(jnp.float32)
+        return acc.sum()
+
     o_d0 = dataclasses.replace(opts, max_depth=0)
 
     @jax.jit
@@ -127,8 +170,10 @@ def main(argv=None):
 
     stages = {
         "nearest": lambda eps: p_nearest(eps, scene_j, tracer),
+        "surf": lambda eps: p_surf(eps, scene_j, tracer),
         "shade0": lambda eps: p_shade0(eps, scene_j, tracer),
         "d0": lambda eps: p_d0(eps, scene_j, tracer),
+        "occl": p_occl,
         "d0tiled": p_d0tiled,
     }
     todo = list(stages) if args.stage == "all" else [args.stage]
