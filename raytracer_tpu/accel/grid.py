@@ -649,6 +649,13 @@ class GridTracer:
         if skip_steps is None:
             skip_steps = int(os.environ.get("RT_GRID_SKIP", 0))
         self._skip = skip_steps
+        # occlusion walks get their OWN skip count (RT_GRID_OCCL_SKIP,
+        # default = the nearest walk's): shadow rays toward the lights cross
+        # disproportionately many EMPTY cells (the lights sit above the
+        # scene), so the empty-cell fast-forward can pay there even where it
+        # loses on nearest walks (the r3-g S=0 verdict) — results bitwise
+        # identical for any S (empty-cell evals only ever fold INF)
+        self._oskip = int(os.environ.get("RT_GRID_OCCL_SKIP", self._skip))
         if fanout is None:
             fanout = int(os.environ.get("RT_GRID_FANOUT", 1))
         self._fanout = max(1, fanout)
@@ -765,7 +772,7 @@ class GridTracer:
         else:
             tb, _ = grid_walk(self._grid, v0, e1, e2, orig, direc, t_min,
                               occlusion_max_t=max_t, fixed_steps=self._fixed,
-                              skip_steps=self._skip, active=active,
+                              skip_steps=self._oskip, active=active,
                               fanout=self._fanout)
         return occ | (tb < max_t)
 
@@ -777,7 +784,7 @@ _EMPTY_MESHES = _Meshes.empty()
 jax.tree_util.register_pytree_node(
     GridTracer,
     lambda tr: ((tr._scene, tr._grid, tr._soa, tr._table),
-                (tr._fixed, tr._skip, tr._fanout, tr._walk)),
+                (tr._fixed, tr._skip, tr._oskip, tr._fanout, tr._walk)),
     lambda aux, ch: _grid_tracer_unflatten(aux, ch))
 
 
@@ -788,5 +795,5 @@ def _grid_tracer_unflatten(aux, children):
     obj._grid = grid
     obj._soa = soa
     obj._table = table
-    obj._fixed, obj._skip, obj._fanout, obj._walk = aux
+    obj._fixed, obj._skip, obj._oskip, obj._fanout, obj._walk = aux
     return obj

@@ -38,6 +38,10 @@ class PlanTracer:
     fixed order the fused kernel wrote the planes in.
     """
 
+    # renderer.render_rays must not wrap bounces of a cursor tracer in
+    # lax.cond (eval_shape + branch tracing would advance cursors twice)
+    stateful_cursor = True
+
     def __init__(self, wins, occs, n_spheres: int, n_planes: int):
         self._wins = [jnp.asarray(w).reshape(-1) for w in wins]
         self._occs = [jnp.asarray(o).reshape(-1) for o in occs]

@@ -16,6 +16,7 @@ see parallel/).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -213,6 +214,36 @@ def _spawn(scene, state, surf, spec, is_glass, kr, pix, terms, traced_inc,
     return terms, new_state, traced_inc
 
 
+class _WideD0Tracer:
+    """Serve a PRECOMPUTED depth-0 nearest hit, delegate everything else.
+
+    The r4 stage probe measured the full-band-width coherent primary walk at
+    ~3.6 ms where the tile scan pays ~10× that (127 per-tile walk loops ×
+    per-walk fixed cost) — but full-width SHADE/occlusion stages spill VMEM
+    and get ~10× slower. The hybrid: render() runs ONE full-width nearest
+    walk outside the scan, slices the integer hit per tile, and this tracer
+    replays it for the first nearest() call of each tile's bounce loop
+    (statically unrolled, so the call order is fixed — the PlanTracer
+    cursor pattern). Occlusion and bounce-≥1 walks stay tiled.
+    """
+
+    def __init__(self, inner, hit0):
+        self._inner = inner
+        self._hit0 = hit0
+        self._used = False
+
+    def nearest(self, orig, direc, t_min, tri_chunk, active=None):
+        if not self._used:
+            self._used = True
+            return self._hit0
+        return self._inner.nearest(orig, direc, t_min, tri_chunk,
+                                   active=active)
+
+    def occluded(self, orig, direc, max_t, t_min, tri_chunk, active=None):
+        return self._inner.occluded(orig, direc, max_t, t_min, tri_chunk,
+                                    active=active)
+
+
 def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
                 count_rays: bool = False, tracer=None):
     """Trace a wavefront of primary rays to radiance [N,3] (unclamped).
@@ -245,11 +276,42 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     pix = None
     dropped = jnp.zeros((), jnp.float32)
 
+    # Bounce rounds ≥1 run under lax.cond on "any lane alive": from depth 1
+    # only specular children live (config4: 3.4% band occupancy CONCENTRATED
+    # in the tiles crossing the mirror sphere), so most tiles skip the whole
+    # trace+shade+spawn body at runtime instead of paying full-width stage
+    # costs for all-dead wavefronts (r4 decomposition: the d1..D rounds were
+    # 33% of the band). Depth 0 is unconditional (all lanes live).
+    # Stateful-cursor tracers (PlanTracer replay) must opt out: the
+    # eval_shape + cond double-trace would advance their cursors twice.
+    skip_dead = (os.environ.get("RT_SKIP_DEAD_TILES", "1") not in ("", "0")
+                 and not getattr(tracer, "stateful_cursor", False))
+
     for depth in range(opts.max_depth + 1):
         with jax.named_scope(f"bounce{depth}"):
-            terms, state, inc = bounce_step(
-                scene, state, opts, n0, is_last=depth == opts.max_depth,
-                count_rays=count_rays, tracer=tracer, pix=pix)
+            step_fn = partial(
+                bounce_step, opts=opts, n0=n0,
+                is_last=depth == opts.max_depth, count_rays=count_rays,
+                tracer=tracer)
+
+            if depth == 0 or not skip_dead:
+                terms, state, inc = step_fn(scene, state, pix=pix)
+            else:
+                def live_branch(scene, state, pix):
+                    return step_fn(scene, state, pix=pix)
+
+                shapes = jax.eval_shape(live_branch, scene, state, pix)
+
+                def dead_branch(scene, state, pix):
+                    # all-dead wavefront: every term/count is exactly zero
+                    # (bounce_step masks by alive everywhere) — emit zeros
+                    # without running the body
+                    return jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+                terms, state, inc = jax.lax.cond(
+                    jnp.any(state[3]), live_branch, dead_branch, scene,
+                    state, pix)
         for t in terms:
             radiance = radiance + t
         traced = traced + inc
@@ -321,10 +383,32 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         dropped = out[2] if compact else None
     else:
         zero = jnp.zeros((), jnp.float32)
+        # wide-d0: hoist the depth-0 nearest walk out of the tile scan and
+        # run it ONCE at full band width (coherent primaries fuse to ~free
+        # there — r4 stage probe), replaying the integer hit per tile via
+        # _WideD0Tracer. Occlusion/bounce walks and all shading stay tiled
+        # (full-width pointwise stages spill VMEM and lose ~10×).
+        wide_d0 = (tracer is not None and not strided
+                   and os.environ.get("RT_WIDE_D0", "0") not in ("", "0"))
+        hit0_tiles = None
+        if wide_d0:
+            flat_dirs = dirs.reshape(-1, 3)
+            ofull = jnp.broadcast_to(jnp.asarray(camera.pos),
+                                     (flat_dirs.shape[0], 3))
+            with jax.named_scope("wide_d0_nearest"):
+                hit0 = tracer.nearest(ofull, flat_dirs, opts.t_min,
+                                      opts.tri_chunk)
+            hit0_tiles = jax.tree.map(
+                lambda x: x.reshape(dirs.shape[0], -1), hit0)
 
-        def tile_fn(carry, tile_dirs):
+        def tile_fn(carry, xs):
+            if hit0_tiles is None:
+                tile_dirs, tr2 = xs, tracer
+            else:
+                tile_dirs, h0 = xs
+                tr2 = _WideD0Tracer(tracer, h0)
             out = render_rays(scene, orig, tile_dirs, opts, count_rays,
-                              tracer=tracer)
+                              tracer=tr2)
             if compact:
                 return (carry[0] + out[1], carry[1] + out[2]), out[0]
             return carry + out[1], out[0]
@@ -343,7 +427,8 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
             else:
                 tile_fn = jax.checkpoint(tile_fn)
         carry0 = (zero, zero) if compact else zero
-        carry, rad = jax.lax.scan(tile_fn, carry0, dirs)
+        xs = dirs if hit0_tiles is None else (dirs, hit0_tiles)
+        carry, rad = jax.lax.scan(tile_fn, carry0, xs)
         traced, dropped = carry if compact else (carry, None)
         if strided:
             rad = rad.transpose(1, 0, 2)  # [tile, ntiles, 3] → pixel order
