@@ -6,6 +6,7 @@ specular is not shadow-masked and not multiplied by albedo; shadow rays test all
 objects including transparent ones.
 """
 
+import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.types import Scene
@@ -42,12 +43,19 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
         dist = safe_sqrt(d2, valid=d2 > 0)
         ldir = lvec / jnp.maximum(dist, 1e-12)[:, None]
         ldn = jnp.maximum(0.0, dot(ldir, n))
+        # lanes facing AWAY from the light (ldn == 0) park their shadow walk:
+        # the occlusion bit is only ever consumed as vis·ldn in the diffuse
+        # term (genre-exact: specular is not shadow-masked), so their result
+        # is multiplied by zero — masking them is bitwise-exact and cuts the
+        # walk's live set ~in half on curved geometry
+        lit = jax.lax.stop_gradient(ldn > 0)
+        oactive = lit if active is None else (active & lit)
         if tracer is None:
             shadowed = trace_ops.occluded(scene, sorig, ldir, dist, t_min,
-                                          tri_chunk, active=active)
+                                          tri_chunk, active=oactive)
         else:
             shadowed = tracer.occluded(sorig, ldir, dist, t_min, tri_chunk,
-                                       active=active)
+                                       active=oactive)
         # part of the render "plan" (renderer._name_plan): saved as a remat
         # residual so the backward never re-walks shadow rays
         from jax.ad_checkpoint import checkpoint_name

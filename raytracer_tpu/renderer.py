@@ -225,6 +225,12 @@ class _WideD0Tracer:
     replays it for the first nearest() call of each tile's bounce loop
     (statically unrolled, so the call order is fixed — the PlanTracer
     cursor pattern). Occlusion and bounce-≥1 walks stay tiled.
+
+    MEASURED A LOSER end-to-end (BENCH_LOG r4-c: 0.86–0.89 vs the 0.307
+    band): the standalone walk's cheapness does not survive feeding a
+    scan — the full-width hit planes ride the scan as sliced xs and the
+    staging/fusion break costs ~3× what the hoisted walk saves. Kept as an
+    A/B knob (RT_WIDE_D0) and as the probe's executable record.
     """
 
     def __init__(self, inner, hit0):
@@ -276,15 +282,16 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     pix = None
     dropped = jnp.zeros((), jnp.float32)
 
-    # Bounce rounds ≥1 run under lax.cond on "any lane alive": from depth 1
-    # only specular children live (config4: 3.4% band occupancy CONCENTRATED
-    # in the tiles crossing the mirror sphere), so most tiles skip the whole
-    # trace+shade+spawn body at runtime instead of paying full-width stage
-    # costs for all-dead wavefronts (r4 decomposition: the d1..D rounds were
-    # 33% of the band). Depth 0 is unconditional (all lanes live).
-    # Stateful-cursor tracers (PlanTracer replay) must opt out: the
-    # eval_shape + cond double-trace would advance their cursors twice.
-    skip_dead = (os.environ.get("RT_SKIP_DEAD_TILES", "1") not in ("", "0")
+    # RT_SKIP_DEAD_TILES=1 (default OFF): bounce rounds ≥1 under lax.cond on
+    # "any lane alive", skipping the whole trace+shade+spawn body for
+    # all-dead tiles. Sounded right from the decomposition (the d1..D rounds
+    # are 33% of the config4 band at 3.4% occupancy) and is exact to 1 ulp —
+    # but MEASURED 1.83× SLOWER on TPU (BENCH_LOG r4-c: 0.563 vs 0.307
+    # band): per-tile conds inside the scan body serialize/break fusion far
+    # beyond what the skipped work is worth. Kept as an A/B knob only.
+    # Stateful-cursor tracers (PlanTracer replay) must opt out regardless:
+    # the eval_shape + cond double-trace would advance their cursors twice.
+    skip_dead = (os.environ.get("RT_SKIP_DEAD_TILES", "0") not in ("", "0")
                  and not getattr(tracer, "stateful_cursor", False))
 
     for depth in range(opts.max_depth + 1):
