@@ -17,6 +17,7 @@ collisions per row.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,14 +27,41 @@ import numpy as np
 # native gather/scatter wins (mask traffic grows as N·K).
 SMALL_TABLE_ROWS = 64
 
+# RT_PGATHER_SELECT=K: tables with ≤K rows replace the FORWARD gather with
+# a where-select chain over static row slices — pure VPU broadcast selects,
+# no gather machinery, bitwise-identical values. A/B knob for the
+# ~10 ns/gather-row cost model on tiny scene tables (BENCH_LOG r2-d);
+# read at import (set per subprocess).
+SELECT_ROWS = int(os.environ.get("RT_PGATHER_SELECT", "0") or 0)
+
+
+def _select_chain(table, idx):
+    """table[idx] as K-1 broadcast selects (static row slices, no gather)."""
+    k = table.shape[0]
+    shape = idx.shape + (1,) * (table.ndim - 1)
+    out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for j in range(1, k):
+        out = jnp.where(jnp.reshape(idx == j, shape), table[j], out)
+    return out
+
+
+def tselect(table, idx):
+    """Gather-free `table[idx]` for tiny tables when RT_PGATHER_SELECT is
+    on (any dtype, no custom VJP — use for integer/bool tables)."""
+    if 0 < table.shape[0] <= SELECT_ROWS:
+        return _select_chain(table, idx)
+    return table[idx]
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _pgather(table, idx):
+    if 0 < table.shape[0] <= SELECT_ROWS:
+        return _select_chain(table, idx)
     return table[idx]
 
 
 def _pgather_fwd(table, idx):
-    return table[idx], (table.shape, idx)
+    return _pgather(table, idx), (table.shape, idx)
 
 
 def _pgather_bwd(res, ct):
@@ -62,7 +90,7 @@ def pgather(table, idx):
     """
     if (table.shape[0] > SMALL_TABLE_ROWS
             or not jnp.issubdtype(table.dtype, jnp.floating)):
-        return table[idx]
+        return tselect(table, idx)
     return _pgather(table, idx)
 
 

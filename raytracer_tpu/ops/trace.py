@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from raytracer_tpu.core.types import (
     KIND_NONE, KIND_PLANE, KIND_SPHERE, KIND_TRIANGLE, Scene)
 from raytracer_tpu.ops import geometry as geom
-from raytracer_tpu.ops.dgather import pgather
+from raytracer_tpu.ops.dgather import pgather, tselect
 from raytracer_tpu.ops.safemath import cross, dot, normalize, safe_div
 
 INF = jnp.inf
@@ -218,7 +218,7 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
         ns = safe_div(p - c, r[:, None], valid=jnp.abs(r[:, None]) > 1e-12)
         t = jnp.where(m, ts, t)
         nrm = jnp.where(m[:, None], ns, nrm)
-        mat_id = jnp.where(m, scene.spheres.mat_id[i], mat_id)
+        mat_id = jnp.where(m, tselect(scene.spheres.mat_id, i), mat_id)
 
     if scene.planes.count:
         m = hit.kind == KIND_PLANE
@@ -236,13 +236,14 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
         pattern = (fu > 0.5) ^ (fv > 0.5)
         # SPEC: albedo_eff = c1 if pattern==0 else c2 — per-plane color pair
         # (material albedo, albedo2); the classic colors are the preset defaults.
-        mat_alb = pgather(scene.materials.albedo, scene.planes.mat_id[i])
+        mat_alb = pgather(scene.materials.albedo,
+                          tselect(scene.planes.mat_id, i))
         calb = jnp.where(pattern[:, None], pgather(scene.planes.albedo2, i),
                          mat_alb)
         t = jnp.where(m, tp, t)
         nrm = jnp.where(m[:, None], pn, nrm)
-        mat_id = jnp.where(m, scene.planes.mat_id[i], mat_id)
-        is_checker = scene.planes.checker[i] > 0
+        mat_id = jnp.where(m, tselect(scene.planes.mat_id, i), mat_id)
+        is_checker = tselect(scene.planes.checker, i) > 0
         checker_mask = checker_mask | (m & is_checker)
         checker_albedo = jnp.where((m & is_checker)[:, None], calb, checker_albedo)
 
@@ -300,7 +301,7 @@ def surface_at(scene: Scene, orig, direc, hit: Hit, t_min: float) -> Surface:
     albedo = jnp.where(checker_mask[:, None], checker_albedo, albedo)
     return Surface(
         valid=valid, t=t, p=p, n=nrm, albedo=albedo,
-        mtype=scene.materials.mtype[mat_id],
+        mtype=tselect(scene.materials.mtype, mat_id),
         kd=pgather(scene.materials.kd, mat_id),
         ks=pgather(scene.materials.ks, mat_id),
         spec_n=pgather(scene.materials.spec_n, mat_id),
