@@ -27,12 +27,16 @@ import numpy as np
 # native gather/scatter wins (mask traffic grows as N·K).
 SMALL_TABLE_ROWS = 64
 
-# RT_PGATHER_SELECT=K: tables with ≤K rows replace the FORWARD gather with
-# a where-select chain over static row slices — pure VPU broadcast selects,
-# no gather machinery, bitwise-identical values. A/B knob for the
-# ~10 ns/gather-row cost model on tiny scene tables (BENCH_LOG r2-d);
-# read at import (set per subprocess).
-SELECT_ROWS = int(os.environ.get("RT_PGATHER_SELECT", "0") or 0)
+# RT_PGATHER_SELECT=K (default 8, 0 disables): tables with ≤K rows replace
+# the FORWARD gather with a where-select chain over static row slices —
+# pure VPU broadcast selects, no gather machinery, value-identical (1-ulp
+# downstream association class only). Measured (BENCH_LOG r4-e, sync
+# interleaved): config2 wavefront fwd 0.0463→0.0177 s (2.6×), config2
+# replay training step 0.0709→0.0293 s (2.4× — the first rung ABOVE the
+# 1.25e8 rays/s north-star per-chip share), config3 step 1.05×, config4
+# 1.02–1.03×. The ~10 ns/gather-row machinery cost (r2-d) applied to every
+# tiny-table read in surface_at/shade; selects make them VPU-free.
+SELECT_ROWS = int(os.environ.get("RT_PGATHER_SELECT", "8") or 0)
 
 
 def _select_chain(table, idx):
