@@ -77,13 +77,15 @@ class FusedWhitted:
             interpret = jax.default_backend() != "tpu"
         self._interpret = interpret
         # tile = pixels per kernel program. Mosaic splits the block onto
-        # (8,128) VPU registers internally. 1080p sweep on v5e (config2, d2):
-        # (8,128) 0.45 ms, (32,256) 0.30 ms, (64,512) 0.61 ms — mid-size
-        # tiles balance launch amortization against VMEM pressure. Glass
-        # scenes keep a whole ancestor chain of ray state live (see module
-        # docstring) — halve the tile to stay comfortably inside VMEM.
+        # (8,128) VPU registers internally. Non-glass: (32,256) — confirmed
+        # optimal against 8 alternative shapes under interleaved sync A/Bs
+        # (BENCH_LOG r4-c; bigger windows VMEM-OOM the unrolled kernel).
+        # Glass keeps a whole ancestor chain of ray state live (module
+        # docstring): (8,256) beat the old (16,256) 1.21× on config3 1024²
+        # d4 (12.48 vs 15.16 ms, r4-f) — the 31-body recursion wants the
+        # smallest VPU-aligned window.
         if tile is None:
-            tile = (16, 256) if self._has_glass else (32, 256)
+            tile = (8, 256) if self._has_glass else (32, 256)
         self._tile = (int(tile[0]), int(tile[1]))
 
         # param_inputs: sphere centers + the material-albedo table become
