@@ -164,14 +164,18 @@ def config4_mesh(use_obj: bool = True):
                             [(0.7, 0.7, 0.7), (0.45, 0.45, 0.45)]),
     )
     cam = Camera.build(pos=(0.0, 0.6, 1.2), fov_deg=50.0)
-    # tile 4096: the walk's per-iteration candidate buffers ([tile, capacity]
+    # tile 5120: the walk's per-iteration candidate buffers ([tile, capacity]
     # t/id planes + [tile, cap, 10] SoA reads) must stay VMEM-resident — at
     # the old 131072 they spill and every DDA iteration pays full-width HBM
-    # staging (the r3-c copy-start profile). Band sweep (1920×216 d4, repeat
-    # ±0.2%): 2048 0.392 s · **4096 0.3556** · 8192 0.459 · 16384 0.740 ·
-    # 131072 1.981 · single-tile 3.49 (BENCH_LOG r3-e/r3-f/r3-g).
+    # staging (the r3-c copy-start profile). r3 swept powers of two (2048
+    # 0.392 s · 4096 0.3556 · 8192 0.459 · … · single-tile 3.49, BENCH_LOG
+    # r3-e/f/g); the r4 re-tune AT the select-gather operating point found
+    # the off-power sweet spot: 4096 0.298 · 4608 0.304 · **5120
+    # 0.284/0.286** · 5632 0.349 fwd, bwd 1.719 vs 1.773 (r4q7/q8,
+    # interleaved) — fewer scan-boundary copy-start stagings per band at a
+    # width still under the VMEM cliff.
     opts = RenderOptions(width=1920, height=1080, max_depth=4,
-                         tile_rays=4096)
+                         tile_rays=5120)
     return scene, cam, opts
 
 
