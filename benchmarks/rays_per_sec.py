@@ -371,7 +371,7 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     # RT_REPLAY_TILE: tile the non-glass band replay (ops/replay tiled scan;
     # None/unset = single-tile, the r3-j operating point)
     tile_rays = None
-    if os.environ.get("RT_REPLAY_TILE"):
+    if int(os.environ.get("RT_REPLAY_TILE") or 0) > 0:
         tile_rays = int(os.environ["RT_REPLAY_TILE"])
 
     def builder(q):
