@@ -246,7 +246,7 @@ def _replay_render_compact(scene, camera, opts, plan, row0: int, rows: int):
         tracer = PlanTracer([p[0] for p in planes], [p[1] for p in planes],
                             scene.spheres.count, scene.planes.count)
         radiance = jnp.zeros((tile, 3), jnp.float32)
-        state = (orig, tdirs, jnp.ones((tile,), jnp.float32),
+        state = (orig, tdirs, jnp.ones((tile, 3), jnp.float32),
                  jnp.ones((tile,), bool))
         pix = None
         for b in range(opts.max_depth + 1):

@@ -138,7 +138,7 @@ def make_loss_and_grad(template: Scene, camera: Camera, opts: RenderOptions,
         def forward(floats):
             """→ (rad, saved per-bounce states). One wavefront per device."""
             orig = jnp.broadcast_to(cam_pos, (per_dev, 3))
-            fstate = (orig, dirs_shard, jnp.ones((per_dev,), jnp.float32))
+            fstate = (orig, dirs_shard, jnp.ones((per_dev, 3), jnp.float32))
             alive = jnp.ones((per_dev,), bool)
             saved = []
             rad = jnp.zeros((per_dev, 3), jnp.float32)

@@ -156,7 +156,7 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
 
     # Leaves: miss → background
     miss = alive & ~surf.valid
-    terms = [_fold(jnp.where(miss, thr, 0.0)[:, None] * bg, n0, pix)]
+    terms = [_fold(jnp.where(miss[:, None], thr * bg, 0.0), n0, pix)]
 
     # Leaves: diffuse hit → local Phong (branchless; masked after)
     is_diff = valid & (surf.mtype == DIFFUSE_AND_GLOSSY)
@@ -164,7 +164,7 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
         local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
                                  opts.tri_chunk, tracer=tracer,
                                  active=None if msk is None else is_diff)
-    terms.append(_fold(jnp.where(is_diff, thr, 0.0)[:, None] * local, n0,
+    terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0,
                        pix))
     if count_rays:
         traced_inc = traced_inc + jnp.sum(is_diff.astype(jnp.float32)) \
@@ -181,7 +181,7 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
         # immediately: mirror contributes kr·bg, glass kr·bg + (1−kr)·bg
         # (kr==1 exactly on TIR, so glass always totals 1·bg).
         w = jnp.where(is_mirror, kr, jnp.where(is_glass, 1.0, 0.0))
-        terms.append(_fold((thr * w)[:, None] * bg, n0, pix))
+        terms.append(_fold(thr * w[:, None] * bg, n0, pix))
         return terms, None, traced_inc
 
     with jax.named_scope("spawn_children"):
@@ -194,13 +194,13 @@ def _spawn(scene, state, surf, spec, is_glass, kr, pix, terms, traced_inc,
     o, d, thr, alive = state
     rdir = normalize(geom.reflect(d, surf.n))
     rorig = geom.spawn_origin(surf.p, surf.n, rdir, opts.bias)
-    thr_r = jnp.where(spec, thr * kr, 0.0)
+    thr_r = jnp.where(spec[:, None], thr * kr[:, None], 0.0)
     if scene.has_glass:
         tdir, t_ok = geom.refract(d, surf.n, surf.ior)
         tdir = normalize(tdir, valid=t_ok)
         torig = geom.spawn_origin(surf.p, surf.n, tdir, opts.bias)
         alive_t = is_glass & t_ok
-        thr_t = jnp.where(alive_t, thr * (1.0 - kr), 0.0)
+        thr_t = jnp.where(alive_t[:, None], thr * (1.0 - kr[:, None]), 0.0)
         new_state = (jnp.concatenate([rorig, torig]),
                      jnp.concatenate([rdir, tdir]),
                      jnp.concatenate([thr_r, thr_t]),
@@ -265,11 +265,7 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     scene = _types_as_jax(scene)
     n0 = orig.shape[0]
     radiance = jnp.zeros((n0, 3), jnp.float32)
-    # throughput is SCALAR per lane: Whitted weights are kr products —
-    # never RGB-modulated — so carrying [N] instead of [N,3] drops a third
-    # of the float wavefront state the tile scan stages per step (the
-    # copy-start floor, q6 profile). Bitwise-identical radiance.
-    state = (orig, direc, jnp.ones((n0,), jnp.float32),
+    state = (orig, direc, jnp.ones((n0, 3), jnp.float32),
              jnp.ones((n0,), bool))
     traced = jnp.zeros((), jnp.float32)
     # compacted-wavefront mode: cap buffers at compact_cap·n0 lanes per bounce
