@@ -34,7 +34,8 @@ except Exception:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config2")
-    ap.add_argument("--phase", default="bwd", choices=["fwd", "bwd"])
+    ap.add_argument("--phase", default="bwd",
+                    choices=["fwd", "bwd", "replay"])
     ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--depth", type=int, default=-1)
@@ -73,6 +74,24 @@ def main():
 
         def step(eps):
             return [fns[rows](eps, r0) for r0, rows in bands][-1]
+    elif args.phase == "replay":
+        # the shipping non-glass training step: fused plan + replay vg
+        from raytracer_tpu.ops.fused import FusedWhitted
+        from raytracer_tpu.ops.replay import value_and_grad_replay
+
+        target = jax.jit(lambda s, c: render(s, c, opts)[0])(scene, cam)
+        jax.block_until_ready(target)
+        target = target * 0.9
+        p0 = rps._grad_params(scene)
+        fused = FusedWhitted(scene, cam, opts, param_inputs=True)
+
+        def builder(q):
+            return fused.bind(center=q["center"], albedo=q["albedo"])
+
+        def step(eps):
+            p = jax.tree.map(lambda x: x + eps, p0)
+            return value_and_grad_replay(rps._with_params, p, scene, cam,
+                                         opts, target, builder)[0]
     else:
         n_pix = opts.width * opts.height
         tgt_fn = jax.jit(lambda r0, rows: render(
