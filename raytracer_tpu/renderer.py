@@ -32,18 +32,28 @@ from raytracer_tpu.ops.safemath import clamp01, normalize
 from raytracer_tpu.ops.trace import nearest_hit, surface_at
 
 
-def _name_plan(tree):
+def _name_plan(hit):
     """Tag winner-search outputs as remat residuals (checkpoint_name).
 
-    The 'plan' of a frame — nearest-hit (kind, idx, t) per bounce and the
+    The 'plan' of a frame — nearest-hit (kind, idx) per bounce and the
     per-light shadow-occlusion bits — is everything the differentiable
     recompute needs from the stop-gradient walks. Saving exactly these under
     `save_only_these_names` gives walk-free backward recompute at ids-sized
     residual memory (vs full activations with remat off, or re-walking with
-    plain remat)."""
+    plain remat).
+
+    `t` is deliberately NOT tagged: surface_at recomputes it from the
+    integer winner, so the float plane is dead after the tracer — but a
+    checkpoint_name annotation blocks DCE and the r4 replay profile showed
+    the dead f32[N] planes being materialized AND staged HBM↔VMEM per
+    bounce (3 of the top copy-start classes). Untagged, XLA erases them."""
     from jax.ad_checkpoint import checkpoint_name
 
-    return jax.tree.map(lambda x: checkpoint_name(x, "trace_plan"), tree)
+    from raytracer_tpu.ops.trace import Hit
+
+    return Hit(kind=checkpoint_name(hit.kind, "trace_plan"),
+               idx=checkpoint_name(hit.idx, "trace_plan"),
+               t=hit.t)
 
 
 def use_compact(scene: Scene, opts: RenderOptions) -> bool:
