@@ -118,3 +118,35 @@ def test_permute_take_1d_and_jit():
     assert float(v) == float((x[order] ** 2).sum())
     np.testing.assert_array_equal(
         np.asarray(g), np.asarray(jax.grad(lambda v: (v[order] ** 2).sum())(x)))
+
+
+def test_select_chain_matches_gather():
+    """Tiny-table select chains (the r4-e 2.4x lever): values exactly equal
+    to table[idx] for every dtype/rank combination used in surface_at, with
+    the pgather one-hot backward unchanged."""
+    import numpy as np
+
+    from raytracer_tpu.ops.dgather import (_select_chain, pgather, tselect,
+                                           SELECT_ROWS)
+
+    assert SELECT_ROWS == 8  # shipping default
+    rng = np.random.default_rng(3)
+    idx = jnp.asarray(rng.integers(0, 5, size=(1000,)))
+    for table in (rng.normal(size=(5, 3)).astype(np.float32),
+                  rng.normal(size=(5,)).astype(np.float32),
+                  rng.integers(0, 9, size=(5,)).astype(np.int32),
+                  (rng.random(5) < 0.5)):
+        t = jnp.asarray(table)
+        np.testing.assert_array_equal(np.asarray(_select_chain(t, idx)),
+                                      np.asarray(t[idx]))
+        np.testing.assert_array_equal(np.asarray(tselect(t, idx)),
+                                      np.asarray(t[idx]))
+    # float path still takes the scatter-free one-hot backward
+    t = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    g1 = jax.grad(lambda tb: pgather(tb, idx).sum())(t)
+    g2 = jax.grad(lambda tb: tb[idx].sum())(t)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+    # big tables pass through to the native gather
+    big = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(tselect(big, idx)),
+                                  np.asarray(big[idx]))
