@@ -96,7 +96,13 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
     # Exactness asserted post-timing via the dropped-lane counter.
     comp = os.environ.get("RT_BENCH_COMPACT", "")
     if comp == "":
-        cap = 1 if scene.has_glass else None
+        # per-scene default cap: config3's floor was swept on TPU (BENCH_LOG
+        # r4-h): 0.5 is the LOWEST EXACT cap at the 1024² bench size
+        # (dropped==0 gated post-timing; 0.375 drops 30k alive lanes) and is
+        # 1.56× the cap-1 training step. Other/unknown glass scenes keep the
+        # safe cap 1 — the gate still protects them.
+        cap = (0.5 if config == "config3" else 1) \
+            if scene.has_glass else None
     else:
         cap = float(comp)
         if cap <= 0:  # any non-positive value disables compaction
