@@ -374,6 +374,9 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     band_rows = None
     if scene.has_glass:
         band_rows = max(64, opts.height // 4)
+    if int(os.environ.get("RT_BENCH_REPLAY_BANDS") or 0) > 1:  # sweep hook
+        band_rows = max(64, opts.height
+                        // int(os.environ["RT_BENCH_REPLAY_BANDS"]))
     # RT_REPLAY_TILE: tile the non-glass band replay (ops/replay tiled scan;
     # None/unset = single-tile, the r3-j operating point)
     tile_rays = None
