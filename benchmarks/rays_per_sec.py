@@ -371,10 +371,13 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     # glass replays per band to bound residual memory (plan-compacted when
     # opts.compact_cap is set — ops/replay._replay_render_compact; set
     # RT_REPLAY_COMPACT=0 for the uncompacted r3-l variant)
-    band_rows = None
-    if scene.has_glass:
-        band_rows = max(64, opts.height // 4)
-    if int(os.environ.get("RT_BENCH_REPLAY_BANDS") or 0) > 1:  # sweep hook
+    # 4 gradient microbatches: the replay vg's residual set shrinks with the
+    # band, and 4 bands beat the single-band step 1.2× at 1080p (BENCH_LOG
+    # r4-i sweep: 1→0.0293, 2→0.0261, 4→0.0240, 8 noisy 0.022–0.030,
+    # 16→0.057 — per-band fixed costs take over). Same banding glass always
+    # used; RT_BENCH_REPLAY_BANDS sweeps it.
+    band_rows = max(64, opts.height // 4)
+    if int(os.environ.get("RT_BENCH_REPLAY_BANDS") or 0) >= 1:  # sweep hook
         band_rows = max(64, opts.height
                         // int(os.environ["RT_BENCH_REPLAY_BANDS"]))
     # RT_REPLAY_TILE: tile the non-glass band replay (ops/replay tiled scan;

@@ -294,9 +294,12 @@ def cmd_optimize(args):
         upd_jit = jax.jit(lambda g, s, p: opt.update(g, s, p))
 
         def step(p, s):
+            # 4 gradient microbatches — the measured replay winner at 1080p
+            # (BENCH_LOG r4-i); grads equal the single-band step by band-sum
+            # linearity
             val, g = value_and_grad_replay(
                 _apply2, p, init, cam, opts, timg,
-                _builder)
+                _builder, band_rows=max(64, opts.height // 4))
             upd, s = upd_jit(g, s, p)
             return optax.apply_updates(p, upd), s, val
     else:
