@@ -125,6 +125,10 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
             from raytracer_tpu.accel.grid import GridTracer
 
             tracer = GridTracer.build(scene, walk="pallas")
+        elif tracer_kind == "mat":
+            from raytracer_tpu.ops.mat_trace import MatTracer
+
+            tracer = MatTracer.build(scene)
         else:
             from raytracer_tpu.accel.grid import GridTracer
 

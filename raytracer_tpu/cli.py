@@ -362,12 +362,14 @@ def main(argv=None):
     pr.add_argument("--grid", action="store_true",
                     help="(deprecated) alias for --tracer grid")
     pr.add_argument("--tracer", default="auto",
-                    choices=["auto", "none", "grid", "bvh", "pallas", "grid-pallas", "fused"],
+                    choices=["auto", "none", "grid", "bvh", "pallas",
+                             "grid-pallas", "mat", "fused"],
                     help="mesh winner-search backend (auto = grid when the "
                          "scene has triangles; pallas = brute-force VPU "
-                         "megakernel over all triangles; fused = "
-                         "single-kernel forward for scenes without big "
-                         "meshes, glass included)")
+                         "megakernel over all triangles; mat = MXU matmul "
+                         "sweep over all triangles (ops/mat_trace.py); "
+                         "fused = single-kernel forward for scenes without "
+                         "big meshes, glass included)")
     pr.add_argument("--trace", default="",
                     help="write a jax.profiler device trace to this dir")
     pr.add_argument("--compact", type=float, default=0,

@@ -52,6 +52,10 @@ def build_tracer(scene, kind: str):
         from raytracer_tpu.accel.grid import GridTracer
 
         return GridTracer.build(scene, walk="pallas")
+    if kind == "mat":
+        from raytracer_tpu.ops.mat_trace import MatTracer
+
+        return MatTracer.build(scene)
     raise ValueError(f"unknown tracer kind: {kind!r}")
 
 

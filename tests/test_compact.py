@@ -130,3 +130,21 @@ def test_compact_overflow_reported():
     ref = jax.jit(lambda s, c: render(
         s, c, dataclasses.replace(opts, compact_cap=None))[0])(scene, cam)
     np.testing.assert_allclose(np.asarray(img2), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("side", [256, pytest.param(512, marks=pytest.mark.slow)])
+def test_config3_shipping_cap_exact(side):
+    """VERDICT r4 #7: the bench ships config3 at compact_cap 0.5 — the exact
+    floor (BENCH_LOG r4-h: 0.375 drops 30k alive lanes at 1024²). Pin
+    dropped == 0 at that cap in CI so a scene/preset change can't silently
+    start clipping lanes; the gate otherwise lives only in bench post-timing.
+    Strided tiles make per-tile occupancy ≈ frame occupancy (renderer), so
+    the alive fraction — hence the floor — is resolution-stable; 256²/512²
+    stand in for the 1024² bench frame at CPU-test cost.
+    """
+    scene, cam, opts = presets.PRESETS["config3"]()
+    opts = dataclasses.replace(opts, width=side, height=side,
+                               compact_cap=0.5)
+    _, _, dropped = jax.jit(lambda s, c: render(s, c, opts))(scene, cam)
+    assert float(dropped) == 0.0, (
+        f"shipping cap 0.5 dropped {float(dropped)} alive lanes at {side}²")

@@ -123,6 +123,57 @@ def test_occluded_matches_brute(mesh_scene, rays):
     assert (occ != ref).mean() <= 0.005
 
 
+def test_mat_selectable_backend(mesh_scene):
+    """VERDICT r4 #5: `--tracer mat` resolves end-to-end via build_tracer."""
+    from raytracer_tpu.utils.hostload import build_tracer
+
+    scene, _, _ = mesh_scene
+    assert isinstance(build_tracer(scene, "mat"), MT.MatTracer)
+
+
+@pytest.mark.slow
+def test_mat_cross_backend_agreement(mesh_scene, rays):
+    """Mat vs grid vs BVH winner search on a config4-class mesh: finalized
+    t's agree to the cross-backend standard (rtol 2e-6, ids exact off knife
+    edges — ops/pallas_walk.py docstring) and occlusion bits match."""
+    from raytracer_tpu.accel.bvh import BVHTracer
+    from raytracer_tpu.accel.grid import GridTracer
+
+    scene, cam, opts = mesh_scene
+    verts, tris = meshgen.bumpy_sphere(subdiv=4, radius=1.3)
+    verts = verts + np.array([0.0, -0.1, -5.5], np.float32)
+    scene = scene.replace(meshes=Meshes.build(
+        verts, tris, np.zeros((tris.shape[0],), np.int32),
+        normals=meshgen.vertex_normals(verts, tris)))
+    orig, dirs, _ = rays
+    t_min = float(opts.t_min)
+
+    tr_mat = MT.MatTracer.build(scene, bt=512)
+    hits = {}
+    for name, tr in (("mat", tr_mat), ("grid", GridTracer.build(scene)),
+                     ("bvh", BVHTracer.build(scene))):
+        h = tr.nearest(orig, dirs, t_min, opts.tri_chunk)
+        hits[name] = (np.asarray(h.t), np.asarray(h.idx),
+                      np.asarray(h.kind))
+    t0, i0, k0 = hits["grid"]
+    for name in ("mat", "bvh"):
+        t1, i1, k1 = hits[name]
+        fin = np.isfinite(t0) & np.isfinite(t1)
+        assert (np.isfinite(t0) != np.isfinite(t1)).mean() <= 0.005, name
+        np.testing.assert_allclose(t1[fin], t0[fin], rtol=2e-6,
+                                   err_msg=name)
+        assert ((i1 != i0) | (k1 != k0))[fin].mean() <= 0.005, name
+
+    mx = jnp.full(orig.shape[:1], 6.0, jnp.float32)
+    occ = {name: np.asarray(tr.occluded(orig, dirs, mx, t_min,
+                                        opts.tri_chunk))
+           for name, tr in (("mat", tr_mat),
+                            ("grid", GridTracer.build(scene)),
+                            ("bvh", BVHTracer.build(scene)))}
+    assert (occ["mat"] != occ["grid"]).mean() <= 0.005
+    assert (occ["bvh"] != occ["grid"]).mean() <= 0.005
+
+
 @pytest.mark.slow
 def test_mat_render_matches_default(mesh_scene):
     """End-to-end render through MatTracer == default path to the knife-edge
