@@ -75,6 +75,10 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
         tile_rays = int(os.environ["RT_BENCH_TILE"])  # sweep hook
     if tile_rays is not None:
         opts = dataclasses.replace(opts, tile_rays=tile_rays)
+    if os.environ.get("RT_BENCH_TILE_BLOCK"):  # screen-block tile order
+        bh, bw = (int(x) for x in
+                  os.environ["RT_BENCH_TILE_BLOCK"].split("x"))
+        opts = dataclasses.replace(opts, tile_block=(bh, bw))
     if os.environ.get("RT_BENCH_REMAT"):  # sweep hook: remat off/on + policy
         rv = os.environ["RT_BENCH_REMAT"]  # 0=off, 1=on, plan/full=policy
         if rv in ("plan", "full"):
@@ -129,6 +133,14 @@ def _setup(config, width=None, height=None, max_depth=None, tile_rays=None,
             from raytracer_tpu.ops.mat_trace import MatTracer
 
             tracer = MatTracer.build(scene)
+        elif tracer_kind == "cull":
+            # tile-culled dense sweep at d0 (RT_CULL_CAP/_CHUNK/_DEPTHS/
+            # _OCCL), grid walk inner. EXACT only when no tile's culled
+            # list overflows the cap — check with accel.cull.cull_audit;
+            # overflowing probe runs measure machinery cost, not product.
+            from raytracer_tpu.accel.cull import CullTracer
+
+            tracer = CullTracer.build(scene)
         else:
             from raytracer_tpu.accel.grid import GridTracer
 

@@ -325,3 +325,12 @@ class RenderOptions:
     # r2-d cost model), so shrinking the buffer multiplies walk throughput.
     # Exact iff no alive lane overflows the cap — render() then returns the
     # dropped-lane count for the caller to check (see renderer.render).
+    tile_block: tuple | None = None  # (bh, bw) screen-block tile order: scan
+    # tiles become bh×bw pixel blocks (bh·bw == tile_rays) instead of flat
+    # row-major runs. Radiance is identical per pixel (a static permutation
+    # in, its inverse out); the point is LOCALITY — per-tile frustum culling
+    # (accel/cull.py) needs compact tile AABBs, and a 2.7-row full-width
+    # strip at 1080p sweeps the whole mesh where a 64×80 block sees a sliver
+    # (measured: shadow culled-lists 20050 → O(100s) of 20480 tris).
+    # Non-compacted wavefronts only (compaction's strided tiling is its own
+    # occupancy-equalizing order).

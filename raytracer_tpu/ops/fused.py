@@ -43,6 +43,9 @@ from raytracer_tpu.core.types import (
 
 _DET_EPS = 1e-8
 
+_STORE_DTYPES = {"f32": jnp.float32, "f16": jnp.float16,
+                 "bf16": jnp.bfloat16, "u8": jnp.uint8}
+
 # Baked triangles are swept per ray like spheres/planes — fine for scene
 # geometry (Cornell walls), ruinous for real meshes (use GridTracer/BVH).
 MAX_FUSED_TRIS = 64
@@ -106,6 +109,19 @@ class FusedWhitted:
         self._strip = _os.environ.get("RT_FUSED_STRIP", "")
         assert self._strip in ("", "raygen", "trace", "noshadow", "nopow"), \
             self._strip
+        # RT_FUSED_STORE: output-plane dtype. The r4-a/b attribution put
+        # ~74% of the config2 fused frame in a raygen+WRITE-only kernel and
+        # the store is 12 B/px f32 today (VERDICT r4 weak #3) — narrower
+        # stores probe whether the floor is write-bandwidth. Values:
+        #   f32 (default) — exact;
+        #   f16 — 10 mantissa bits ⇒ ≤1/2048 abs error on [0,1]: BELOW the
+        #         1/255 PNG display quantum (goldens unaffected at u8);
+        #   bf16 — 7 mantissa bits, ~1/256-relative: display-visible, probe
+        #          only;
+        #   u8 — round(rgb·255): EXACTLY the PNG encoding, 3 B/px; decoded
+        #        back to f32/255 on the host side of the kernel.
+        self._store = _os.environ.get("RT_FUSED_STORE", "f32") or "f32"
+        assert self._store in ("f32", "f16", "bf16", "u8"), self._store
         # param-mode SMEM tables — EVERY C13-validated class the fused path
         # can carry (triangle vertices stay wavefront-only, documented):
         #   sph [S,4]  cx cy cz r
@@ -293,6 +309,7 @@ class FusedWhitted:
 
         param = self._param
         strip = self._strip
+        store = self._store
 
         def kernel(eps_ref, *refs):
             if param:
@@ -359,9 +376,15 @@ class FusedWhitted:
                  jnp.full((TR, TC), self.cam_pos[1]),
                  jnp.full((TR, TC), self.cam_pos[2]))
             if strip == "raygen":  # attribution probe: dirs as rgb, stop
-                r_ref[:] = d[0]
-                g_ref[:] = d[1]
-                b_ref[:] = d[2]
+                for ref, ch in ((r_ref, d[0]), (g_ref, d[1]),
+                                (b_ref, d[2])):
+                    if store == "u8":
+                        ref[:] = jnp.round(jnp.clip(ch, 0.0, 1.0)
+                                           * 255.0).astype(jnp.uint8)
+                    elif store != "f32":
+                        ref[:] = ch.astype(_STORE_DTYPES[store])
+                    else:
+                        ref[:] = ch
                 return
 
             def radiance(o, d, depth, path=0):
@@ -585,9 +608,15 @@ class FusedWhitted:
                 return rad
 
             rad = radiance(o, d, 0)
-            r_ref[:] = jnp.clip(rad[0], 0.0, 1.0)
-            g_ref[:] = jnp.clip(rad[1], 0.0, 1.0)
-            b_ref[:] = jnp.clip(rad[2], 0.0, 1.0)
+            for ref, ch in ((r_ref, rad[0]), (g_ref, rad[1]),
+                            (b_ref, rad[2])):
+                ch = jnp.clip(ch, 0.0, 1.0)
+                if store == "u8":
+                    ref[:] = jnp.round(ch * 255.0).astype(jnp.uint8)
+                elif store != "f32":
+                    ref[:] = ch.astype(_STORE_DTYPES[store])
+                else:
+                    ref[:] = ch
 
         return kernel
 
@@ -605,7 +634,7 @@ class FusedWhitted:
         smem = lambda a: pl.BlockSpec(
             a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.SMEM)
         eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1))
-        shape = jax.ShapeDtypeStruct((rp, wp), jnp.float32)
+        shape = jax.ShapeDtypeStruct((rp, wp), _STORE_DTYPES[self._store])
         ishape = jax.ShapeDtypeStruct((rp, wp), jnp.int32)
         n_nodes = ((1 << (opts.max_depth + 1)) - 1 if self._has_glass
                    else opts.max_depth + 1)
@@ -624,6 +653,10 @@ class FusedWhitted:
             interpret=self._interpret,
         )(*ins)
         img = jnp.stack(out[:3], axis=-1)[:rows, :w]
+        if self._store == "u8":
+            img = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        elif self._store != "f32":
+            img = img.astype(jnp.float32)
         if not emit_plan:
             return img
         plan = tuple(pl_[:rows, :w] for pl_ in out[3:])

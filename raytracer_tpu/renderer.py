@@ -273,6 +273,11 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     the cap (0 ⇒ radiance exact up to fold fp association).
     """
     scene = _types_as_jax(scene)
+    if tracer is not None and getattr(tracer, "per_trace_cursor", False):
+        # depth-aware tracers (accel.cull.CullTracer) map their call counter
+        # to bounce depths; a fresh counter per trace keeps the mapping right
+        # across scan-body traces AND remat recompute traces
+        tracer = tracer.fresh()
     n0 = orig.shape[0]
     radiance = jnp.zeros((n0, 3), jnp.float32)
     state = (orig, direc, jnp.ones((n0, 3), jnp.float32),
@@ -372,12 +377,25 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
                            row0=row0, rows=rows)
     tile = min(opts.tile_rays, _ceil_to(n_pix, 8))
-    n_pad = _ceil_to(n_pix, tile)
-    if n_pad != n_pix:
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
-                                    (n_pad - n_pix, 3))])
     compact = use_compact(scene, opts)
+    block = (opts.tile_block if opts.tile_block is not None and not compact
+             and n_pix > tile else None)
+    inv_order = None
+    if block is not None:
+        bh, bw = block
+        assert bh * bw == tile, f"tile_block {block} != tile_rays {tile}"
+        perm, inv = block_perm(rows, w, bh, bw)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (1, 3))])
+        dirs = dirs[jnp.asarray(perm)]
+        inv_order = jnp.asarray(inv)
+        n_pad = perm.shape[0]
+    else:
+        n_pad = _ceil_to(n_pix, tile)
+        if n_pad != n_pix:
+            dirs = jnp.concatenate(
+                [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
+                                        (n_pad - n_pix, 3))])
     strided = compact and n_pad > tile
     if strided:
         # stride-interleaved tiles: slot j of tile k is pixel j·ntiles + k,
@@ -449,7 +467,10 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         traced, dropped = carry if compact else (carry, None)
         if strided:
             rad = rad.transpose(1, 0, 2)  # [tile, ntiles, 3] → pixel order
-    img = clamp01(rad.reshape(-1, 3)[:n_pix]).reshape(rows, w, 3)
+    rad = rad.reshape(-1, 3)
+    if inv_order is not None:
+        rad = rad[inv_order]  # block order → pixel order (static gather)
+    img = clamp01(rad[:n_pix]).reshape(rows, w, 3)
     if compact:
         return img, traced, dropped
     return img, traced
@@ -457,6 +478,32 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def block_perm(rows: int, width: int, bh: int, bw: int):
+    """Screen-block tile permutation → (perm [n_pad], inv [rows·width]) np.
+
+    perm[i] = source pixel of permuted lane i (row-major within bh×bw
+    blocks, blocks row-major over a ceil-padded block grid); out-of-frame
+    lanes point at index rows·width (the appended dummy dir). inv gathers
+    the scan's flat radiance back to pixel order: rad_px = rad_flat[inv].
+    Shared by renderer.render and accel.cull.cull_audit so the audit's
+    per-tile counts are the render's per-tile counts."""
+    import numpy as np
+
+    brows, bcols = -(-rows // bh), -(-width // bw)
+    r = (np.arange(brows)[:, None] * bh
+         + np.arange(bh)[None, :])                       # [brows, bh]
+    c = (np.arange(bcols)[:, None] * bw
+         + np.arange(bw)[None, :])                       # [bcols, bw]
+    rr = r[:, None, :, None]
+    cc = c[None, :, None, :]
+    perm = np.where((rr < rows) & (cc < width), rr * width + cc,
+                    rows * width).reshape(-1).astype(np.int32)
+    valid = perm < rows * width
+    inv = np.empty((rows * width,), np.int32)
+    inv[perm[valid]] = np.arange(perm.shape[0], dtype=np.int32)[valid]
+    return perm, inv
 
 
 @partial(jax.jit, static_argnames=("opts", "rows", "count_rays"))
