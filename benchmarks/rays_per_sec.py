@@ -316,6 +316,44 @@ def _phase_fwd_timed(config, repeats=2, **kw):
                 "max_depth": opts.max_depth, "fwd_s": t_fwd, "fwd_bands": 1,
                 "fused": True, "device": str(jax.devices()[0])}
 
+    if os.environ.get("RT_BENCH_HYBRID") == "1" and scene.meshes.count:
+        # partitioned hybrid (accel/cull.py): per-band partition built
+        # BEFORE timing (its np readbacks flip the process to sync dispatch
+        # — harmless under the official _synced_time, which differences
+        # readback-terminated chains). The timed frame is the steady-state
+        # fixed-partition program, amortizing the audit like the grid
+        # build; exactness of thin tiles is audit-gated inside HybridBand.
+        from raytracer_tpu.accel.cull import HybridBand
+
+        bands = _bands(opts)
+        hbs = []
+        for i, (r0, rr) in enumerate(bands):
+            print(f"# hybrid band {i + 1}/{len(bands)} partition…",
+                  file=sys.stderr, flush=True)
+            hb = HybridBand(scene, cam, opts, row0=r0, rows=rr)
+            print(f"#   thin {hb.n_thin}/{hb.n_tiles} tiles",
+                  file=sys.stderr, flush=True)
+            hbs.append(hb)
+
+        def fwd_h(eps):
+            outs = [hb(eps) for hb in hbs]
+            return outs[-1]
+
+        z = jnp.zeros(())
+        for i, hb in enumerate(hbs):
+            print(f"# hybrid band {i + 1}/{len(hbs)} compile+warm…",
+                  file=sys.stderr, flush=True)
+            jax.block_until_ready(hb(z))
+        print("# hybrid bands warm; timing…", file=sys.stderr, flush=True)
+        img, t_fwd = _timer()(fwd_h, repeats=repeats)
+        float(img[0, 0, 0])  # validation readback
+        return {"config": config, "width": opts.width,
+                "height": opts.height, "max_depth": opts.max_depth,
+                "fwd_s": t_fwd, "fwd_bands": len(bands), "hybrid": True,
+                "thin_tiles": [hb.n_thin for hb in hbs],
+                "n_tiles": [hb.n_tiles for hb in hbs],
+                "device": str(jax.devices()[0])}
+
     # The program-size budget applies to FORWARD grid programs too (verified:
     # 960x540xd4 ok, 1440x810xd4 kernel-faults) — band-split the frame into
     # one jit program per band; mesh-free scenes get a single band.
@@ -420,16 +458,79 @@ def _phase_bwd_replay(config, repeats=2, **kw):
     return {"fwd_bwd_s": t_bwd, "bwd_bands": 1, "mode": "plan-replay"}
 
 
+def _phase_bwd_kernel(config, repeats=2, **kw):
+    """fwd+bwd step via the in-kernel fused VJP (RT_BENCH_PLAN=kernel):
+    render_plan emits the plan at serving speed, then ONE Pallas kernel
+    computes the band's L2 loss and analytic param gradients
+    (ops/fused.plan_value_and_grad) — no XLA autodiff graph at all."""
+    from raytracer_tpu.ops.fused import FusedWhitted, supported
+
+    scene, cam, opts, _ = _setup(config, tracer_kind="none", **kw)
+    scene_h = presets.PRESETS[config]()[0]
+    assert supported(scene_h), "fused-vjp needs a fused-supported scene"
+    n_pix = opts.width * opts.height
+    print("# bwd-kernel target render…", file=sys.stderr, flush=True)
+    target = jax.jit(lambda s, c: render(s, c, opts)[0])(scene, cam)
+    jax.block_until_ready(target)
+    target = target * 0.9
+    p0 = _grad_params(scene)
+    fused = FusedWhitted(scene_h, cam, opts, param_inputs=True)
+    base_sph, base_pln = fused._psph, fused._ppln
+    base_mat, base_lgt = fused._pmat, fused._plgt
+    ns, nm = base_sph.shape[0], base_mat.shape[0]
+    # the kernel backward holds no residuals, so single-band is the natural
+    # default; RT_BENCH_REPLAY_BANDS sweeps microbatching anyway
+    nb = int(os.environ.get("RT_BENCH_REPLAY_BANDS") or 1)
+    band_rows = max(fused._tile[0], opts.height // nb)
+    bands = [(r0, min(band_rows, opts.height - r0))
+             for r0 in range(0, opts.height, band_rows)]
+    scale = 1.0 / (n_pix * 3)
+
+    def step(eps):
+        p = jax.tree.map(lambda x: x + eps, p0)
+        sph = jnp.asarray(base_sph).at[:p["center"].shape[0], 0:3].set(
+            p["center"])
+        mat = jnp.asarray(base_mat).at[:p["albedo"].shape[0], 0:3].set(
+            p["albedo"])
+        val = jnp.zeros(())
+        gc = jnp.zeros_like(p0["center"])
+        ga = jnp.zeros_like(p0["albedo"])
+        for r0, rb in bands:
+            _, wins, occs = fused._render(r0, rb, True, eps, sph, base_pln,
+                                          mat, base_lgt)
+            l, g = fused._train_vg(r0, rb, eps, sph, base_pln, mat,
+                                   base_lgt, wins, occs,
+                                   target[r0:r0 + rb])
+            val = val + l
+            gc = gc + g["sph"][:gc.shape[0], 0:3]
+            ga = ga + g["mat"][:ga.shape[0], 0:3]
+        return val * scale, {"center": gc * scale, "albedo": ga * scale}
+
+    print("# bwd-kernel compile+warm…", file=sys.stderr, flush=True)
+    jax.block_until_ready(step(jnp.zeros(())))
+    print("# bwd-kernel warm; timing…", file=sys.stderr, flush=True)
+    (val, g), t_bwd = _timer()(step, repeats=repeats)
+    float(val)  # validation readback
+    return {"fwd_bwd_s": t_bwd, "bwd_bands": len(bands),
+            "mode": "fused-vjp"}
+
+
 def phase_bwd(config, repeats=2, **kw):
-    # fused-plan replay is the DEFAULT training step where it applies
-    # (non-glass fused-supported scenes): measured 1.31x the plan-remat
-    # wavefront step on config2 1080p d2 (BENCH_LOG r3-j). RT_BENCH_PLAN=0
-    # forces the standard path, =1 asserts replay.
+    # training-step backend ladder for fused-supported scenes:
+    #   kernel (r5 DEFAULT, non-glass) — in-kernel fused VJP
+    #     (_phase_bwd_kernel): 0.01674 s vs replay 0.02458 at config2 1080p
+    #     (1.47×, BENCH_LOG r5-c);
+    #   replay — XLA shading-replay vg (the r3/r4 default; RT_BENCH_PLAN=1);
+    #   standard wavefront vg — glass (replay/kernel lose there) and
+    #     non-fused scenes; RT_BENCH_PLAN=0 forces it.
     plan = os.environ.get("RT_BENCH_PLAN", "auto")
     if plan != "0":
         from raytracer_tpu.ops.fused import supported
 
         scene0 = presets.PRESETS[config]()[0]
+        if plan == "kernel" or (plan == "auto" and not scene0.has_glass
+                                and supported(scene0)):
+            return _phase_bwd_kernel(config, repeats=repeats, **kw)
         if plan == "1" or (not scene0.has_glass and supported(scene0)):
             return _phase_bwd_replay(config, repeats=repeats, **kw)
     scene, cam, opts, tracer = _setup(config, **kw)
@@ -455,6 +556,52 @@ def phase_bwd(config, repeats=2, **kw):
     # cost config2 1.46x. RT_BENCH_REMAT (applied in _setup) stays the
     # explicit sweep hook.
     opts_b = opts
+    if os.environ.get("RT_BENCH_HYBRID") == "1" and scene.meshes.count:
+        # hybrid training step: fixed-partition hybrid forward inside the
+        # vg (thin tiles culled-dense, fat tiles walk; same remat policy).
+        # The tracers keep p0's stop-grad scene copy exactly like the
+        # standard path (winner ids are residuals; eps is always 0).
+        from raytracer_tpu.accel.cull import HybridBand, hybrid_image
+
+        vgs_h = []
+        for i, (r0, rr) in enumerate(bands):
+            print(f"# hybrid bwd band {i + 1}/{len(bands)} partition…",
+                  file=sys.stderr, flush=True)
+            hb = HybridBand(scene, cam, opts, row0=r0, rows=rr)
+            print(f"#   thin {hb.n_thin}/{hb.n_tiles} tiles",
+                  file=sys.stderr, flush=True)
+
+            def band_loss(p, hb=hb, r0=r0, rr=rr):
+                s = _with_params(scene, p)
+                img = hybrid_image(s, hb._orig, hb._thin_dirs,
+                                   hb._fat_dirs, hb._cull, hb._inner,
+                                   hb._order, hb._inv, opts_b, rr,
+                                   hb._n_pix)[0]
+                return jnp.sum((img - jax.lax.dynamic_slice_in_dim(
+                    target, r0, rr, 0)) ** 2) / (n_pix * 3)
+
+            vgs_h.append(jax.jit(jax.value_and_grad(band_loss)))
+
+        def step_h(eps):
+            p = jax.tree.map(lambda x: x + eps, p0)
+            val = jnp.zeros(())
+            g = None
+            for vg in vgs_h:
+                v, gb = vg(p)
+                val = val + v
+                g = gb if g is None else jax.tree.map(jnp.add, g, gb)
+            return val, g
+
+        for i, vg in enumerate(vgs_h):
+            print(f"# hybrid bwd band {i + 1}/{len(vgs_h)} compile+warm…",
+                  file=sys.stderr, flush=True)
+            jax.block_until_ready(vg(p0))
+        print("# hybrid bwd bands warm; timing…", file=sys.stderr,
+              flush=True)
+        (val, g), t_bwd = _timer()(step_h, repeats=repeats)
+        float(val)  # validation readback
+        return {"fwd_bwd_s": t_bwd, "bwd_bands": len(vgs_h),
+                "mode": "hybrid"}
     # one value_and_grad program per band height (traced row0), as in fwd
     vg_by_rows = {}
     for _, rows in bands:

@@ -37,6 +37,7 @@ via the `per_trace_cursor` protocol (fresh() per trace, remat-safe).
 """
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -280,6 +281,268 @@ def _cull_tracer_unflatten(aux, children):
 
 
 # ---------------------------------------------------------------------------
+# Partitioned hybrid render: culled dense sweep for thin tiles, walk for fat
+# ---------------------------------------------------------------------------
+
+def _tile_dirs(camera, opts, row0: int, rows: int):
+    """Replicate render()'s non-compacted tiling → (dirs [k, tile, 3],
+    inv_order or None, tile, n_pix). One definition keeps the partitioned
+    renderer, the audit, and render() on the same tile boundaries."""
+    w = opts.width
+    n_pix = rows * w
+    dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w,
+                       opts.height, row0=row0, rows=rows)
+    tile = min(opts.tile_rays, -(-n_pix // 8) * 8)
+    inv_order = None
+    if (opts.tile_block is not None and n_pix > tile
+            and opts.tile_block[0] * opts.tile_block[1] == tile):
+        from raytracer_tpu.renderer import block_perm
+
+        bh, bw = opts.tile_block
+        perm, inv = block_perm(rows, w, bh, bw)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (1, 3))])
+        dirs = dirs[jnp.asarray(perm)]
+        inv_order = jnp.asarray(inv)
+    else:
+        n_pad = -(-n_pix // tile) * tile
+        if n_pad != n_pix:
+            dirs = jnp.concatenate(
+                [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]),
+                                        (n_pad - n_pix, 3))])
+    return dirs.reshape(-1, tile, 3), inv_order, tile, n_pix
+
+
+def render_partitioned(scene, camera, opts, row0: int = 0,
+                       rows: int | None = None, inner=None,
+                       cap: int | None = None, chunk: int | None = None,
+                       count_rays: bool = False, counts_out: dict = None):
+    """Band render, per-tile hybrid: tiles whose culled lists fit `cap` run
+    the dense sweep (CullTracer, d0 nearest + d0 shadows), the rest run the
+    inner walk — VERDICT r4 ask #1's prescribed structure. → (img, traced).
+
+    The partition comes from an on-device audit (exact d0 counts + shadow
+    upper bounds, one cheap program) read back to the host — i.e. it is
+    per-(scene, camera, band) DATA, like the grid build. Class sizes are
+    static program shapes: a camera move that changes them recompiles the
+    two scan programs (amortized for static-scene serving/bench; pad-to-
+    budget is the documented extension if that ever matters). Exactness
+    does NOT depend on the audit: thin tiles are gated by the EXACT d0
+    count and the superset shadow bound, so culled results equal the walk
+    to 1 ulp; a conservative misclassification only costs speed.
+    """
+    from raytracer_tpu.core.types import as_jax
+
+    scene = as_jax(scene)
+    rows = opts.height - row0 if rows is None else rows
+    if inner is None:
+        from raytracer_tpu.accel.grid import GridTracer
+
+        inner = GridTracer.build(scene)
+    cull_tr = CullTracer(scene, inner=inner, cap=cap, chunk=chunk)
+    cd = cull_tr._cd
+    dirs, inv_order, tile, n_pix = _tile_dirs(camera, opts, row0, rows)
+    orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
+
+    d0c, shc = _audit_counts(cd, scene, inner, orig, dirs,
+                             float(opts.t_min), opts.tri_chunk,
+                             float(opts.bias))
+    d0c = np.asarray(d0c)
+    shc = np.asarray(shc)
+    thin = (d0c <= cd.cap) & (shc <= cd.cap)
+    if counts_out is not None:
+        counts_out.update(d0=d0c, shadow=shc, thin=thin)
+    thin_idx = np.nonzero(thin)[0].astype(np.int32)
+    fat_idx = np.nonzero(~thin)[0].astype(np.int32)
+
+    parts, order_src = [], []
+    zero = jnp.zeros((), jnp.float32)
+    traced = zero
+    if thin_idx.size:
+        rad_t, tr_t = _scan_jit(scene, orig, dirs[jnp.asarray(thin_idx)],
+                                cull_tr, opts=opts, count_rays=count_rays)
+        parts.append(rad_t)
+        order_src.append(thin_idx)
+        traced = traced + tr_t
+    if fat_idx.size:
+        rad_f, tr_f = _scan_jit(scene, orig, dirs[jnp.asarray(fat_idx)],
+                                inner, opts=opts, count_rays=count_rays)
+        parts.append(rad_f)
+        order_src.append(fat_idx)
+        traced = traced + tr_f
+    rad = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    # static reassembly permutation: concat order → tile order (gather only)
+    order = np.argsort(np.concatenate(order_src)).astype(np.int32)
+    rad = rad[jnp.asarray(order)].reshape(-1, 3)
+    if inv_order is not None:
+        rad = rad[inv_order]
+    from raytracer_tpu.ops.safemath import clamp01
+
+    img = clamp01(rad[:n_pix]).reshape(rows, opts.width, 3)
+    return img, traced
+
+
+class HybridBand:
+    """Precomputed-partition band renderer for timing/serving loops.
+
+    `render_partitioned` re-audits per call (correct for a moving camera,
+    but eager glue per frame); this wraps one band with its partition FROZEN
+    at build time — one jitted program per frame call, `eps` threading the
+    bench's data-dependency chain through the ray origins. Rebuild when the
+    camera/scene moves materially (same amortization contract as the grid
+    build itself)."""
+
+    def __init__(self, scene, camera, opts, row0: int = 0,
+                 rows: int | None = None, inner=None, cap: int | None = None,
+                 chunk: int | None = None):
+        from raytracer_tpu.core.types import as_jax
+
+        scene = as_jax(scene)
+        rows = opts.height - row0 if rows is None else rows
+        if inner is None:
+            from raytracer_tpu.accel.grid import GridTracer
+
+            inner = GridTracer.build(scene)
+        self._cull = CullTracer(scene, inner=inner, cap=cap, chunk=chunk)
+        self._inner = inner
+        self._scene = scene
+        self._opts = opts
+        self._rows = rows
+        dirs, inv_order, tile, n_pix = _tile_dirs(camera, opts, row0, rows)
+        self._orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
+        d0c, shc = _audit_counts(self._cull._cd, scene, inner, self._orig,
+                                 dirs, float(opts.t_min), opts.tri_chunk,
+                                 float(opts.bias))
+        thin = ((np.asarray(d0c) <= self._cull._cd.cap)
+                & (np.asarray(shc) <= self._cull._cd.cap))
+        self.n_thin, self.n_tiles = int(thin.sum()), int(thin.size)
+        thin_idx = np.nonzero(thin)[0].astype(np.int32)
+        fat_idx = np.nonzero(~thin)[0].astype(np.int32)
+        self._thin_dirs = dirs[jnp.asarray(thin_idx)]
+        self._fat_dirs = dirs[jnp.asarray(fat_idx)]
+        order = np.argsort(np.concatenate([thin_idx, fat_idx])).astype(
+            np.int32)
+        self._order = jnp.asarray(order)
+        self._inv = inv_order
+        self._n_pix = n_pix
+
+    def __call__(self, eps=0.0):
+        return _hybrid_jit(self._scene, self._orig + eps, self._thin_dirs,
+                           self._fat_dirs, self._cull, self._inner,
+                           self._order, self._inv, opts=self._opts,
+                           rows=self._rows, n_pix=self._n_pix)
+
+
+def hybrid_image(scene, orig, thin_dirs, fat_dirs, cull_tr, inner, order,
+                 inv_order, opts, rows: int, n_pix: int,
+                 count_rays: bool = False):
+    """Differentiable fixed-partition band body → (img, traced). Jit/vjp
+    it from the caller (HybridBand forward, the hybrid training loss)."""
+    from raytracer_tpu.ops.safemath import clamp01
+
+    parts = []
+    traced = jnp.zeros((), jnp.float32)
+    if thin_dirs.shape[0]:
+        rad_t, tr_t = _scan_body(scene, orig, thin_dirs, cull_tr, opts,
+                                 count_rays)
+        parts.append(rad_t)
+        traced = traced + tr_t
+    if fat_dirs.shape[0]:
+        rad_f, tr_f = _scan_body(scene, orig, fat_dirs, inner, opts,
+                                 count_rays)
+        parts.append(rad_f)
+        traced = traced + tr_f
+    rad = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    rad = rad[order].reshape(-1, 3)
+    if inv_order is not None:
+        rad = rad[inv_order]
+    return clamp01(rad[:n_pix]).reshape(rows, opts.width, 3), traced
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "rows", "n_pix"))
+def _hybrid_jit(scene, orig, thin_dirs, fat_dirs, cull_tr, inner, order,
+                inv_order, *, opts, rows, n_pix):
+    return hybrid_image(scene, orig, thin_dirs, fat_dirs, cull_tr, inner,
+                        order, inv_order, opts, rows, n_pix)[0]
+
+
+def _scan_body(scene, orig, dirs_tiles, tracer, opts, count_rays=False):
+    """Sequential-tile render scan (renderer.render's scan body with its
+    remat policy, minus the compaction/wide-d0 modes the hybrid never
+    uses) → (rad [k, tile, 3], traced)."""
+    from raytracer_tpu import renderer
+
+    def tile_fn(carry, tdirs):
+        rad, traced = renderer.render_rays(scene, orig, tdirs, opts,
+                                           count_rays, tracer=tracer)
+        return carry + traced, rad
+
+    if opts.remat_tiles:
+        if opts.remat_policy == "plan":
+            tile_fn = jax.checkpoint(
+                tile_fn, policy=jax.checkpoint_policies.save_only_these_names(
+                    "trace_plan"))
+        else:
+            tile_fn = jax.checkpoint(tile_fn)
+    traced, rad = jax.lax.scan(tile_fn, jnp.zeros((), jnp.float32),
+                               dirs_tiles)
+    return rad, traced
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "count_rays"))
+def _scan_jit(scene, orig, dirs_tiles, tracer, *, opts, count_rays):
+    rad, traced = _scan_body(scene, orig, dirs_tiles, tracer, opts,
+                             count_rays)
+    return rad, traced
+
+
+@functools.partial(jax.jit, static_argnames=("t_min", "tri_chunk", "bias"))
+def _audit_counts(cd, scene, inner, orig, dirs_tiles, t_min, tri_chunk,
+                  bias):
+    """One program: per-tile d0 survivor count (EXACT) + max per-light
+    shadow-list upper bound → ([k], [k]) i32. The d0 nearest for shadow
+    origins runs ONCE at full band width (coherent primaries — the cheap
+    regime, BENCH_LOG r4-b stage probe) and is sliced per tile."""
+    k, tile, _ = dirs_tiles.shape
+    flat = dirs_tiles.reshape(-1, 3)
+    oflat = jnp.broadcast_to(orig[:1], (flat.shape[0], 3))
+    hit = inner.nearest(oflat, flat, t_min, tri_chunk)
+    valid = jnp.isfinite(hit.t)
+    p = oflat + jnp.where(valid, hit.t, 0.0)[:, None] * flat
+    lpos = jnp.asarray(scene.lights.pos, jnp.float32)
+    nl = lpos.shape[0]
+
+    def per_tile(td, pt, vt):
+        seg_lo, seg_hi, inside = _segments(cd, orig, td, t_min)
+        c0 = _count_overlap(cd, seg_lo, seg_hi, inside)
+        cmax = jnp.zeros((), jnp.int32)
+        for li in range(nl):
+            lvec = lpos[li][None, :] - pt
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(lvec * lvec, axis=1),
+                                        1e-24))
+            ldir = lvec / dist[:, None]
+            slo, shi, sin = _segments(cd, pt, ldir, t_min, max_t=dist,
+                                      active=vt)
+            pad = jnp.float32(2.0 * bias)
+            cmax = jnp.maximum(cmax,
+                               _count_overlap(cd, slo - pad, shi + pad, sin))
+        return c0, cmax
+
+    return jax.lax.map(
+        lambda xs: per_tile(*xs),
+        (dirs_tiles, p.reshape(k, tile, 3), valid.reshape(k, tile)))
+
+
+def _count_overlap(cd: CullData, seg_lo, seg_hi, inside):
+    big = jnp.float32(3.4e38)
+    tlo = jnp.where(inside[:, None], seg_lo, big).min(axis=0)
+    thi = jnp.where(inside[:, None], seg_hi, -big).max(axis=0)
+    overlap = (jnp.all(cd.tri_lo <= thi[None, :], axis=1)
+               & jnp.all(cd.tri_hi >= tlo[None, :], axis=1))
+    return jnp.sum(overlap.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Audit: exact per-tile survivor counts (the cap gate)
 # ---------------------------------------------------------------------------
 
@@ -306,11 +569,11 @@ def cull_audit(scene, camera, opts, row0: int = 0, rows: int | None = None,
     dirs = geom.raygen(camera.pos, camera.c2w, camera.fov_deg, w, h,
                        row0=row0, rows=rows)
     tile = min(opts.tile_rays, -(-n_pix // 8) * 8)
-    if opts.tile_block is not None and n_pix > tile:
+    if (opts.tile_block is not None and n_pix > tile
+            and opts.tile_block[0] * opts.tile_block[1] == tile):
         from raytracer_tpu.renderer import block_perm
 
         bh, bw = opts.tile_block
-        assert bh * bw == tile, (opts.tile_block, tile)
         perm, _ = block_perm(rows, w, bh, bw)
         dirs = jnp.concatenate(
             [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (1, 3))])

@@ -174,8 +174,17 @@ def config4_mesh(use_obj: bool = True):
     # 0.284/0.286** · 5632 0.349 fwd, bwd 1.719 vs 1.773 (r4q7/q8,
     # interleaved) — fewer scan-boundary copy-start stagings per band at a
     # width still under the VMEM cliff.
+    # tile_block (32,160): scan tiles as screen blocks instead of 2.7-row
+    # full-width strips — a pure permutation (bitwise-identical images) that
+    # makes the per-tile walk trip count bimodal: ~90% of blocks never
+    # enter the mesh AABB and park at iteration 0. Measured r5-a/r5-b/r5-c
+    # (0.16%-spread anchors): band fwd 0.2866 → 0.1535 (64×80) → 0.1378
+    # (32×160, 2.08×); full-frame fwd 1.444 → 0.783, fwd+bwd 1.718 → 1.195
+    # (1.44×). Shape sweep: 16×320 0.1625 · 64×80 0.1534 · 80×64 0.1592 ·
+    # 128×40 0.1943 · 64×64@4096 0.1583 · 64×128@8192 0.2083 — 32×160 is
+    # the optimum. docs/ARCH.md "Screen-block tile order".
     opts = RenderOptions(width=1920, height=1080, max_depth=4,
-                         tile_rays=5120)
+                         tile_rays=5120, tile_block=(32, 160))
     return scene, cam, opts
 
 

@@ -43,8 +43,36 @@ from raytracer_tpu.core.types import (
 
 _DET_EPS = 1e-8
 
-_STORE_DTYPES = {"f32": jnp.float32, "f16": jnp.float16,
-                 "bf16": jnp.bfloat16, "u8": jnp.uint8}
+_STORE_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                 "u8": jnp.int32}
+
+
+def _pack_u8(r, g, b):
+    """[..] f32 rgb in [0,1] → one int32 plane r|g<<8|b<<16 (PNG quantum)."""
+    q = [jnp.clip(jnp.round(c * 255.0), 0.0, 255.0).astype(jnp.int32)
+         for c in (r, g, b)]
+    return q[0] | (q[1] << 8) | (q[2] << 16)
+
+
+def _train_acc(pt):
+    """Accessor dict over the train kernel's param pytree (nested lists of
+    0-d traced scalars read from SMEM) — same interface as the baked/SMEM
+    accessors in `_kernel`, so `radiance` differentiates unchanged."""
+    sph, pln, mat, lgt = pt["sph"], pt["pln"], pt["mat"], pt["lgt"]
+    return {
+        "sph_c": lambda sp: tuple(sph[sp["si"]][k] for k in range(3)),
+        "sph_r": lambda sp: sph[sp["si"]][3],
+        "pln_p": lambda pl_: tuple(pln[pl_["pi"]][k] for k in range(3)),
+        "pln_n": lambda pl_: tuple(pln[pl_["pi"]][3 + k] for k in range(3)),
+        "pln_a2": lambda pl_: tuple(pln[pl_["pi"]][6 + k] for k in range(3)),
+        "mat_alb": lambda prm: tuple(mat[prm["mid"]][k] for k in range(3)),
+        "mat_kd": lambda prm: mat[prm["mid"]][3],
+        "mat_ks": lambda prm: mat[prm["mid"]][4],
+        "mat_specn": lambda prm: mat[prm["mid"]][5],
+        "mat_ior": lambda prm: mat[prm["mid"]][6],
+        "lgt_pos": lambda li: tuple(lgt[li][k] for k in range(3)),
+        "lgt_int": lambda li: tuple(lgt[li][3 + k] for k in range(3)),
+    }
 
 # Baked triangles are swept per ray like spheres/planes — fine for scene
 # geometry (Cornell walls), ruinous for real meshes (use GridTracer/BVH).
@@ -113,15 +141,27 @@ class FusedWhitted:
         # ~74% of the config2 fused frame in a raygen+WRITE-only kernel and
         # the store is 12 B/px f32 today (VERDICT r4 weak #3) — narrower
         # stores probe whether the floor is write-bandwidth. Values:
-        #   f32 (default) — exact;
-        #   f16 — 10 mantissa bits ⇒ ≤1/2048 abs error on [0,1]: BELOW the
-        #         1/255 PNG display quantum (goldens unaffected at u8);
-        #   bf16 — 7 mantissa bits, ~1/256-relative: display-visible, probe
-        #          only;
-        #   u8 — round(rgb·255): EXACTLY the PNG encoding, 3 B/px; decoded
-        #        back to f32/255 on the host side of the kernel.
+        #   f32 (default) — exact, 3 planes, 12 B/px;
+        #   bf16 — 7 mantissa bits (~1/256-relative: display-visible quant,
+        #          probe only), 6 B/px;
+        #   u8 — round(rgb·255) packed r|g<<8|b<<16 into ONE int32 plane
+        #        (4 B/px): EXACTLY the PNG encoding, decoded to f32/255
+        #        outside the kernel. (Mosaic has no u8 store or f16 type on
+        #        this stack — measured r5q5 NotImplementedError — so the
+        #        byte-exact narrow store is the packed-int32 form.)
         self._store = _os.environ.get("RT_FUSED_STORE", "f32") or "f32"
-        assert self._store in ("f32", "f16", "bf16", "u8"), self._store
+        assert self._store in ("f32", "bf16", "u8"), self._store
+        # train (plan-VJP) kernel window: jax.value_and_grad of the tree
+        # roughly triples the live [TR,TC] state, so the forward's window
+        # VMEM-OOMs (measured r5q5: (32,256) scoped 17.5M > 16M) — the
+        # backward gets its own window. Non-glass sweep (r5q7, config2
+        # 1080p): (8,512) 0.01674 < (8,256) 0.02129 ≈ (16,256) 0.02150 —
+        # (8,512) ships. Glass trees remat their children (see radiance)
+        # and take the smallest window. RT_FUSED_VJP_TILE overrides.
+        vt = _os.environ.get("RT_FUSED_VJP_TILE")
+        self._vjp_tile = (tuple(int(x) for x in vt.split(","))
+                          if vt else ((8, 128) if self._has_glass
+                                      else (8, 512)))
         # param-mode SMEM tables — EVERY C13-validated class the fused path
         # can carry (triangle vertices stay wavefront-only, documented):
         #   sph [S,4]  cx cy cz r
@@ -275,7 +315,11 @@ class FusedWhitted:
 
     # -- the kernel -------------------------------------------------------
     def _kernel(self, row0: int, h_px: int, w_px: int,
-                emit_plan: bool = False):
+                emit_plan: bool = False, train: bool = False,
+                band_rows: int = 0, tile: tuple | None = None):
+        if train:
+            assert self._param and not emit_plan and self._strip == "" \
+                and band_rows > 0, "train kernel: param mode, no strips"
         opts = self._opts
         bg = tuple(float(c) for c in opts.background)
         t_min, bias = opts.t_min, opts.bias
@@ -305,7 +349,7 @@ class FusedWhitted:
             n_nodes = opts.max_depth + 1
         self._n_plan_nodes = n_nodes
         m = self.c2w
-        TR, TC = self._tile
+        TR, TC = tile if tile is not None else self._tile
 
         param = self._param
         strip = self._strip
@@ -315,7 +359,24 @@ class FusedWhitted:
             if param:
                 sph_ref, pln_ref, mat_ref, lgt_ref = refs[:4]
                 refs = refs[4:]
-            r_ref, g_ref, b_ref, *plan_refs = refs
+            if train:
+                # plan-replay training kernel: inputs are the recorded plan
+                # (win id + occlusion bitmask per recursion node) and the
+                # target band; outputs are the accumulated L2 loss and the
+                # ANALYTIC parameter gradients — jax.value_and_grad traces
+                # the closed-form Whitted tree right here in the kernel
+                # body, so the whole backward is one VMEM-resident program
+                # (SURVEY §3.3's fused-backward component, VERDICT r4 #3).
+                win_refs = refs[:n_nodes]
+                occ_refs = refs[n_nodes:2 * n_nodes]
+                tr_ref, tg_ref, tb_ref = refs[2 * n_nodes:2 * n_nodes + 3]
+                (loss_ref, gsph_ref, gpln_ref, gmat_ref,
+                 glgt_ref) = refs[2 * n_nodes + 3:]
+                plan_refs = []
+            elif store == "u8":
+                pk_ref, *plan_refs = refs  # one packed-int32 rgb plane
+            else:
+                r_ref, g_ref, b_ref, *plan_refs = refs
 
             # param-mode accessors: SMEM scalar reads (static indices) in
             # place of baked constants — 0-d values broadcast over [TR,TC].
@@ -350,7 +411,6 @@ class FusedWhitted:
                 "lgt_int": (lambda li: _vec3(lgt_ref, li, 3)) if param
                 else (lambda li: self.lights[li][1]),
             }
-            mat_alb = acc["mat_alb"]
             # eps (always 0) threads a data dependency through the camera so
             # dependency-chain timing works (benchmarks/rays_per_sec.py); it
             # also future-proofs camera jitter without a rebuild.
@@ -376,38 +436,59 @@ class FusedWhitted:
                  jnp.full((TR, TC), self.cam_pos[1]),
                  jnp.full((TR, TC), self.cam_pos[2]))
             if strip == "raygen":  # attribution probe: dirs as rgb, stop
-                for ref, ch in ((r_ref, d[0]), (g_ref, d[1]),
-                                (b_ref, d[2])):
-                    if store == "u8":
-                        ref[:] = jnp.round(jnp.clip(ch, 0.0, 1.0)
-                                           * 255.0).astype(jnp.uint8)
-                    elif store != "f32":
-                        ref[:] = ch.astype(_STORE_DTYPES[store])
-                    else:
-                        ref[:] = ch
+                if store == "u8":
+                    pk_ref[:] = _pack_u8(*(jnp.clip(c, 0.0, 1.0)
+                                           for c in d))
+                else:
+                    for ref, ch in ((r_ref, d[0]), (g_ref, d[1]),
+                                    (b_ref, d[2])):
+                        ref[:] = (ch if store == "f32"
+                                  else ch.astype(_STORE_DTYPES[store]))
                 return
 
-            def radiance(o, d, depth, path=0):
+            def radiance(o, d, depth, path=0, *, acc=acc, plan_in=None):
                 """Whitted castRay, statically unrolled depth-first.
 
                 Returns the [TR,TC]×3 radiance of a unit-throughput ray;
                 ancestors scale by their (kr, 1−kr) weights — the product
                 telescopes to the wavefront renderer's throughput. `path`
                 names this node's wavefront slot prefix (plan emission).
+
+                `acc` resolves trainable constants (kernel-mode dependent);
+                `plan_in = (win_nodes, occ_nodes)` switches to REPLAY: the
+                winner search is skipped (ids given), only the winner's t
+                is recomputed, and shadow bits come from the plan — the
+                closed-form differentiable form the train kernel grads.
                 """
-                # winner search (strict < keeps sphere<plane<tri, low index)
-                best_t = jnp.full((TR, TC), jnp.inf)
-                win = jnp.full((TR, TC), -1, jnp.int32)
-                for i, (kind, prm) in enumerate(prims):
-                    ti = (self._sphere_t(o, d, prm, t_min, acc)
-                          if kind == "s"
-                          else self._plane_t(o, d, prm, t_min, acc)
-                          if kind == "p"
-                          else self._tri_t(o, d, prm, t_min))
-                    better = ti < best_t
-                    best_t = jnp.where(better, ti, best_t)
-                    win = jnp.where(better, i, win)
-                valid = win >= 0
+                if plan_in is None:
+                    # winner search (strict < keeps sphere<plane<tri order)
+                    best_t = jnp.full((TR, TC), jnp.inf)
+                    win = jnp.full((TR, TC), -1, jnp.int32)
+                    for i, (kind, prm) in enumerate(prims):
+                        ti = (self._sphere_t(o, d, prm, t_min, acc)
+                              if kind == "s"
+                              else self._plane_t(o, d, prm, t_min, acc)
+                              if kind == "p"
+                              else self._tri_t(o, d, prm, t_min))
+                        better = ti < best_t
+                        best_t = jnp.where(better, ti, best_t)
+                        win = jnp.where(better, i, win)
+                    valid = win >= 0
+                else:
+                    # replay: winner given; recompute its t (surface_at's
+                    # recompute, here in closed form). Knife-edge lanes
+                    # whose recompute misses demote to miss, as on the
+                    # wavefront replay path (ops/trace.surface_at).
+                    win = plan_in[0][node_off(depth) + path]
+                    best_t = jnp.full((TR, TC), jnp.inf)
+                    for i, (kind, prm) in enumerate(prims):
+                        ti = (self._sphere_t(o, d, prm, t_min, acc)
+                              if kind == "s"
+                              else self._plane_t(o, d, prm, t_min, acc)
+                              if kind == "p"
+                              else self._tri_t(o, d, prm, t_min))
+                        best_t = jnp.where(win == i, ti, best_t)
+                    valid = (win >= 0) & (best_t < jnp.inf)
                 if strip == "trace":  # attribution probe: search only
                     tt0 = jnp.where(valid, best_t, 0.0)
                     return [tt0, win.astype(jnp.float32), tt0]
@@ -430,7 +511,7 @@ class FusedWhitted:
                 is_gls = jnp.zeros((TR, TC), bool)
                 for i, (kind, prm) in enumerate(prims):
                     msk = win == i
-                    alb_i = mat_alb(prm)
+                    alb_i = acc["mat_alb"](prm)
                     if kind == "s":
                         inv_r = 1.0 / acc["sph_r"](prm)
                         cc = acc["sph_c"](prm)
@@ -497,7 +578,10 @@ class FusedWhitted:
                     il = 1.0 / jnp.maximum(dist, 1e-12)
                     ldir = tuple(lvec[k] * il for k in range(3))
                     ldn = jnp.maximum(0.0, self._dot(ldir, nrm))
-                    if strip == "noshadow":  # attribution probe
+                    if plan_in is not None:  # replay: recorded shadow bit
+                        shadowed = ((plan_in[1][node_off(depth) + path]
+                                     >> li) & 1) != 0
+                    elif strip == "noshadow":  # attribution probe
                         shadowed = jnp.zeros((TR, TC), bool)
                     else:
                         shadowed = self._occluded(so, ldir, dist, t_min,
@@ -566,7 +650,24 @@ class FusedWhitted:
                 rd = tuple(rdw[k] * rinv for k in range(3))
                 rside = jnp.where(self._dot(rd, nrm) < 0, -1.0, 1.0)
                 ro = tuple(p[k] + rside * bias * nrm[k] for k in range(3))
-                cr = radiance(ro, rd, depth + 1, path)  # reflect: c=0
+                # train-mode glass: rematerialize each child subtree in the
+                # in-kernel backward (jax.checkpoint) — the 2^(D+1)−1-node
+                # tree's full activation set needs ~49 MB of scoped VMEM at
+                # the smallest legal window (measured r5q7 OOM); remat trades
+                # ~depth× recompute FLOPs for O(depth) live state, the same
+                # deal the wavefront's remat_tiles makes at XLA level.
+                def _child(fn):
+                    # interpret mode skips the remat: there is no scoped
+                    # VMEM to save, and recompute × interpreter overhead
+                    # makes CPU tests crawl
+                    if (plan_in is not None and has_glass and train
+                            and not self._interpret):
+                        return jax.checkpoint(fn)
+                    return fn
+
+                cr = _child(lambda oo0, oo1, oo2, dd0, dd1, dd2: radiance(
+                    (oo0, oo1, oo2), (dd0, dd1, dd2), depth + 1, path,
+                    acc=acc, plan_in=plan_in))(*ro, *rd)  # reflect: c=0
                 w_r = jnp.where(valid & (is_mir | is_gls), kr, 0.0)
                 for k in range(3):
                     rad[k] += w_r * cr[k]
@@ -601,22 +702,77 @@ class FusedWhitted:
                     to = tuple(p[k] + tside * bias * nrm[k]
                                for k in range(3))
                     # refract: c=1 → slot prefix gains the 2^depth bit
-                    ct = radiance(to, td, depth + 1, path + (1 << depth))
+                    ct = _child(lambda oo0, oo1, oo2, dd0, dd1, dd2: radiance(
+                        (oo0, oo1, oo2), (dd0, dd1, dd2), depth + 1,
+                        path + (1 << depth), acc=acc, plan_in=plan_in))(
+                            *to, *td)
                     w_t = jnp.where(valid & is_gls & t_ok, 1.0 - kr, 0.0)
                     for k in range(3):
                         rad[k] += w_t * ct[k]
                 return rad
 
+            if train:
+                # read the plan + target blocks and the param tables ONCE;
+                # tile_loss is then a pure function of the param pytree and
+                # jax.value_and_grad traces its analytic gradient inline
+                win_in = [w_[:] for w_ in win_refs]
+                occ_in = [o_[:] for o_ in occ_refs]
+                tgt = (tr_ref[:], tg_ref[:], tb_ref[:])
+                # mask off grid padding (rows beyond the band, cols beyond
+                # the image): their plan is -1/0 fill but their target is 0
+                valid_px = (row < row0 + band_rows) & (col < w_px)
+                ns_r, np_r = self._psph.shape[0], self._ppln.shape[0]
+                nm_r, nl_r = self._pmat.shape[0], self._plgt.shape[0]
+                pt0 = {
+                    "sph": [[sph_ref[i, j] for j in range(4)]
+                            for i in range(ns_r)],
+                    "pln": [[pln_ref[i, j] for j in range(9)]
+                            for i in range(np_r)],
+                    "mat": [[mat_ref[i, j] for j in range(7)]
+                            for i in range(nm_r)],
+                    "lgt": [[lgt_ref[i, j] for j in range(6)]
+                            for i in range(nl_r)],
+                }
+
+                def tile_loss(pt):
+                    racc = _train_acc(pt)
+                    rad = radiance(o, d, 0, acc=racc,
+                                   plan_in=(win_in, occ_in))
+                    s = jnp.zeros((), jnp.float32)
+                    for k in range(3):
+                        dk = jnp.clip(rad[k], 0.0, 1.0) - tgt[k]
+                        s = s + jnp.sum(jnp.where(valid_px, dk * dk, 0.0))
+                    return s
+
+                lval, g = jax.value_and_grad(tile_loss)(pt0)
+                first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+                @pl.when(first)
+                def _():
+                    loss_ref[:] = jnp.zeros_like(loss_ref)
+                    gsph_ref[:] = jnp.zeros_like(gsph_ref)
+                    gpln_ref[:] = jnp.zeros_like(gpln_ref)
+                    gmat_ref[:] = jnp.zeros_like(gmat_ref)
+                    glgt_ref[:] = jnp.zeros_like(glgt_ref)
+
+                # grid steps run sequentially on TPU and every step maps to
+                # the same output blocks — the standard accumulate pattern
+                loss_ref[:] = loss_ref[:] + jnp.full((1, 1), lval)
+                for ref, gtab in ((gsph_ref, g["sph"]), (gpln_ref, g["pln"]),
+                                  (gmat_ref, g["mat"]), (glgt_ref, g["lgt"])):
+                    arr = jnp.stack([jnp.stack(rw) for rw in gtab])
+                    ref[:] = ref[:] + arr
+                return
+
             rad = radiance(o, d, 0)
-            for ref, ch in ((r_ref, rad[0]), (g_ref, rad[1]),
-                            (b_ref, rad[2])):
-                ch = jnp.clip(ch, 0.0, 1.0)
-                if store == "u8":
-                    ref[:] = jnp.round(ch * 255.0).astype(jnp.uint8)
-                elif store != "f32":
-                    ref[:] = ch.astype(_STORE_DTYPES[store])
-                else:
-                    ref[:] = ch
+            if store == "u8":
+                pk_ref[:] = _pack_u8(*(jnp.clip(c, 0.0, 1.0) for c in rad))
+            else:
+                for ref, ch in ((r_ref, rad[0]), (g_ref, rad[1]),
+                                (b_ref, rad[2])):
+                    ch = jnp.clip(ch, 0.0, 1.0)
+                    ref[:] = (ch if store == "f32"
+                              else ch.astype(_STORE_DTYPES[store]))
 
         return kernel
 
@@ -639,6 +795,7 @@ class FusedWhitted:
         n_nodes = ((1 << (opts.max_depth + 1)) - 1 if self._has_glass
                    else opts.max_depth + 1)
         n_plan = 2 * n_nodes if emit_plan else 0
+        n_rgb = 1 if self._store == "u8" else 3  # u8 = one packed plane
         ins = [eps2]
         in_specs = [smem(eps2)]
         if self._param:
@@ -648,19 +805,90 @@ class FusedWhitted:
         out = pl.pallas_call(
             self._kernel(row0, h, w, emit_plan=emit_plan), grid=grid,
             in_specs=in_specs,
-            out_specs=(spec, spec, spec) + (spec,) * n_plan,
-            out_shape=(shape, shape, shape) + (ishape,) * n_plan,
+            out_specs=(spec,) * n_rgb + (spec,) * n_plan,
+            out_shape=(shape,) * n_rgb + (ishape,) * n_plan,
             interpret=self._interpret,
         )(*ins)
-        img = jnp.stack(out[:3], axis=-1)[:rows, :w]
         if self._store == "u8":
-            img = img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        elif self._store != "f32":
-            img = img.astype(jnp.float32)
+            pk = out[0][:rows, :w]
+            img = jnp.stack([(pk >> s) & 255 for s in (0, 8, 16)],
+                            axis=-1).astype(jnp.float32) \
+                * jnp.float32(1.0 / 255.0)
+        else:
+            img = jnp.stack(out[:n_rgb], axis=-1)[:rows, :w]
+            if self._store != "f32":
+                img = img.astype(jnp.float32)
         if not emit_plan:
             return img
-        plan = tuple(pl_[:rows, :w] for pl_ in out[3:])
+        plan = tuple(pl_[:rows, :w] for pl_ in out[n_rgb:])
         return img, plan[:n_nodes], plan[n_nodes:]
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def _train_vg(self, row0: int, rows: int, eps, sph, pln, mat, lgt,
+                  wins, occs, tgt):
+        """Run the plan-replay training kernel for one band →
+        (loss_sum, grads dict of the 4 param tables). Unnormalized: the
+        caller divides by its loss denominator."""
+        opts = self._opts
+        TR, TC = self._vjp_tile
+        h, w = opts.height, opts.width
+        rp = -(-rows // TR) * TR
+        wp = -(-w // TC) * TC
+        grid = (rp // TR, wp // TC)
+        spec = pl.BlockSpec((TR, TC), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        smem = lambda a: pl.BlockSpec(
+            a.shape, lambda i, j: (0,) * a.ndim, memory_space=pltpu.SMEM)
+        full = lambda shp: pl.BlockSpec(
+            shp, lambda i, j: (0,) * len(shp), memory_space=pltpu.VMEM)
+
+        def pad2(x, fill):
+            return jnp.pad(x, ((0, rp - x.shape[0]), (0, wp - x.shape[1])),
+                           constant_values=fill)
+
+        tabs = [jnp.asarray(a, jnp.float32) for a in (sph, pln, mat, lgt)]
+        wins = [pad2(jnp.asarray(x, jnp.int32), -1) for x in wins]
+        occs = [pad2(jnp.asarray(x, jnp.int32), 0) for x in occs]
+        tgtp = [pad2(jnp.asarray(tgt[..., k], jnp.float32), 0.0)
+                for k in range(3)]
+        eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1))
+        out_shapes = (jax.ShapeDtypeStruct((1, 1), jnp.float32),) + tuple(
+            jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs)
+        out = pl.pallas_call(
+            self._kernel(row0, h, w, train=True, band_rows=rows,
+                         tile=(TR, TC)),
+            grid=grid,
+            in_specs=([smem(eps2)] + [smem(t) for t in tabs]
+                      + [spec] * (len(wins) + len(occs) + 3)),
+            out_specs=(full((1, 1)),) + tuple(full(t.shape) for t in tabs),
+            out_shape=out_shapes,
+            interpret=self._interpret,
+        )(eps2, *tabs, *wins, *occs, *tgtp)
+        return out[0][0, 0], {"sph": out[1], "pln": out[2], "mat": out[3],
+                              "lgt": out[4]}
+
+    def plan_value_and_grad(self, target, row0: int = 0,
+                            rows: int | None = None, eps=0.0):
+        """One fused training micro-step for a band: render_plan (forward at
+        serving speed, ids under stop-grad) + the in-kernel analytic
+        backward → (loss_sum, grads, img).
+
+        grads are d(Σ_band (clamp(rad)−target)²)/d(table) for the four SMEM
+        param tables (sph [S,4] = center|radius, pln [P,9] =
+        point|normal|albedo2, mat [M,7] = albedo|kd|ks|spec_n|ior,
+        lgt [L,6] = pos|intensity) — every C13 class the fused path
+        carries. Normalize outside (e.g. ÷ H·W·3 for the bench's MSE).
+        Requires param_inputs=True; fresh plans per call ⇒ no recompile as
+        bound params move (ops/replay.py's contract, with the replay's XLA
+        graph replaced by one Pallas kernel — SURVEY §3.3 'trace-vjp/
+        shade-vjp' landed as a single fused VJP)."""
+        rows = self._opts.height - row0 if rows is None else rows
+        img, wins, occs = self.render_plan(row0=row0, rows=rows, eps=eps)
+        tgt_band = jax.lax.stop_gradient(jnp.asarray(target, jnp.float32))
+        loss, g = self._train_vg(row0, rows, eps, self._psph, self._ppln,
+                                 self._pmat, self._plgt, wins, occs,
+                                 tgt_band)
+        return loss, g, img
 
     def bind(self, center=None, albedo=None, radius=None, kd=None, ks=None,
              spec_n=None, ior=None, plane_point=None, plane_normal=None,

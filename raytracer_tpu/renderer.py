@@ -378,12 +378,16 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
                            row0=row0, rows=rows)
     tile = min(opts.tile_rays, _ceil_to(n_pix, 8))
     compact = use_compact(scene, opts)
+    # block order engages only when the block matches the tile exactly —
+    # callers that override tile_rays without re-deriving a block shape
+    # (tests, band sweeps) silently fall back to flat tiles (identical
+    # images either way; block order is a perf layout, not semantics)
     block = (opts.tile_block if opts.tile_block is not None and not compact
-             and n_pix > tile else None)
+             and n_pix > tile
+             and opts.tile_block[0] * opts.tile_block[1] == tile else None)
     inv_order = None
     if block is not None:
         bh, bw = block
-        assert bh * bw == tile, f"tile_block {block} != tile_rays {tile}"
         perm, inv = block_perm(rows, w, bh, bw)
         dirs = jnp.concatenate(
             [dirs, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (1, 3))])
