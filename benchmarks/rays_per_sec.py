@@ -517,19 +517,18 @@ def _phase_bwd_kernel(config, repeats=2, **kw):
 
 def phase_bwd(config, repeats=2, **kw):
     # training-step backend ladder for fused-supported scenes:
-    #   kernel (r5 DEFAULT, non-glass) — in-kernel fused VJP
-    #     (_phase_bwd_kernel): 0.01674 s vs replay 0.02458 at config2 1080p
-    #     (1.47×, BENCH_LOG r5-c);
+    #   kernel (r5 DEFAULT for ALL fused-supported scenes, glass included)
+    #     — in-kernel fused VJP (_phase_bwd_kernel): config2 1080p 0.01674
+    #     vs replay 0.02458 (1.47×); config3 glass d4 0.0396 vs wavefront
+    #     0.325 (8.2× — the r5 glass breakthrough; BENCH_LOG r5-c/r5-d);
     #   replay — XLA shading-replay vg (the r3/r4 default; RT_BENCH_PLAN=1);
-    #   standard wavefront vg — glass (replay/kernel lose there) and
-    #     non-fused scenes; RT_BENCH_PLAN=0 forces it.
+    #   standard wavefront vg — non-fused scenes; RT_BENCH_PLAN=0 forces it.
     plan = os.environ.get("RT_BENCH_PLAN", "auto")
     if plan != "0":
         from raytracer_tpu.ops.fused import supported
 
         scene0 = presets.PRESETS[config]()[0]
-        if plan == "kernel" or (plan == "auto" and not scene0.has_glass
-                                and supported(scene0)):
+        if plan == "kernel" or (plan == "auto" and supported(scene0)):
             return _phase_bwd_kernel(config, repeats=repeats, **kw)
         if plan == "1" or (not scene0.has_glass and supported(scene0)):
             return _phase_bwd_replay(config, repeats=repeats, **kw)

@@ -270,7 +270,32 @@ def cmd_optimize(args):
             start = latest + 1
             print(f"resumed from step {latest} at {path}")
 
-    if getattr(args, "plan", False):
+    if getattr(args, "kernel", False):
+        # in-kernel fused VJP (ops/fused.plan_value_and_grad): the
+        # param-input megakernel re-emits the plan each step and ONE Pallas
+        # kernel computes the L2 loss and the ANALYTIC parameter gradients
+        # (jax.value_and_grad traced inside the kernel body) — no XLA
+        # autodiff graph at all. Measured 1.47× the replay step at 1080p
+        # (BENCH_LOG r5-c). Spheres preset only (fused-baked, non-glass).
+        from raytracer_tpu.ops.fused import FusedWhitted, supported
+
+        assert args.preset != "mesh", "--kernel covers the spheres preset"
+        assert supported(init)
+        fused = FusedWhitted(init, cam, opts, param_inputs=True)
+        n3 = opts.width * opts.height * 3
+        ns = init.spheres.count
+        nm = np.asarray(init.materials.albedo).shape[0]
+        upd_jit = jax.jit(lambda g, s, p: opt.update(g, s, p))
+
+        def step(p, s):
+            fused.bind(center=p["center"],
+                       albedo=jnp.clip(p["albedo"], 0.0, 1.0))
+            lsum, g, _ = fused.plan_value_and_grad(timg)
+            g2 = {"center": g["sph"][:ns, 0:3] / n3,
+                  "albedo": g["mat"][:nm, 0:3] / n3}
+            upd, s = upd_jit(g2, s, p)
+            return optax.apply_updates(p, upd), s, lsum / n3
+    elif getattr(args, "plan", False):
         # fused-plan replay step (ops/replay.py): the param-input megakernel
         # emits the winner plan each step (no recompile); autodiff sees only
         # the shading replay. Spheres preset only (non-glass, fused-baked).
@@ -408,6 +433,11 @@ def main(argv=None):
                     help="fused-plan replay training step (spheres preset): "
                          "the megakernel plans, autodiff replays shading — "
                          "1.31x the wavefront step on TPU (BENCH_LOG r3-j)")
+    po.add_argument("--kernel", action="store_true",
+                    help="in-kernel fused-VJP training step (spheres "
+                         "preset): one Pallas kernel computes loss + "
+                         "analytic param grads from the re-emitted plan — "
+                         "1.47x the replay step at 1080p (BENCH_LOG r5-c)")
     po.add_argument("--supervise", action="store_true",
                     help="elastic mode: run the loop as a child process and "
                          "auto-restart it with --resume after crashes "

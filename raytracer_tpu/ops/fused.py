@@ -656,18 +656,13 @@ class FusedWhitted:
                 # the smallest legal window (measured r5q7 OOM); remat trades
                 # ~depth× recompute FLOPs for O(depth) live state, the same
                 # deal the wavefront's remat_tiles makes at XLA level.
-                def _child(fn):
-                    # interpret mode skips the remat: there is no scoped
-                    # VMEM to save, and recompute × interpreter overhead
-                    # makes CPU tests crawl
-                    if (plan_in is not None and has_glass and train
-                            and not self._interpret):
-                        return jax.checkpoint(fn)
-                    return fn
-
-                cr = _child(lambda oo0, oo1, oo2, dd0, dd1, dd2: radiance(
-                    (oo0, oo1, oo2), (dd0, dd1, dd2), depth + 1, path,
-                    acc=acc, plan_in=plan_in))(*ro, *rd)  # reflect: c=0
+                # (NOTE an in-kernel jax.checkpoint on these child calls
+                # was tried for the glass backward's VMEM — Pallas TPU
+                # cannot lower `remat2` (r5q8 NotImplementedError); the
+                # shipped fix raises the kernel's VMEM limit instead, see
+                # _train_vg's compiler_params.)
+                cr = radiance(ro, rd, depth + 1, path, acc=acc,
+                              plan_in=plan_in)  # reflect: c=0
                 w_r = jnp.where(valid & (is_mir | is_gls), kr, 0.0)
                 for k in range(3):
                     rad[k] += w_r * cr[k]
@@ -702,10 +697,8 @@ class FusedWhitted:
                     to = tuple(p[k] + tside * bias * nrm[k]
                                for k in range(3))
                     # refract: c=1 → slot prefix gains the 2^depth bit
-                    ct = _child(lambda oo0, oo1, oo2, dd0, dd1, dd2: radiance(
-                        (oo0, oo1, oo2), (dd0, dd1, dd2), depth + 1,
-                        path + (1 << depth), acc=acc, plan_in=plan_in))(
-                            *to, *td)
+                    ct = radiance(to, td, depth + 1, path + (1 << depth),
+                                  acc=acc, plan_in=plan_in)
                     w_t = jnp.where(valid & is_gls & t_ok, 1.0 - kr, 0.0)
                     for k in range(3):
                         rad[k] += w_t * ct[k]
@@ -862,6 +855,15 @@ class FusedWhitted:
                       + [spec] * (len(wins) + len(occs) + 3)),
             out_specs=(full((1, 1)),) + tuple(full(t.shape) for t in tabs),
             out_shape=out_shapes,
+            # the glass tree's full-activation backward needs ~25 MB of
+            # scoped VMEM at the smallest legal window (8,128) — over the
+            # 16 MB default but comfortably inside the v5e core's 128 MB.
+            # Raise the per-kernel limit instead of rematerializing:
+            # Pallas TPU cannot lower remat2 (measured r5q8), and the
+            # extra residency only trades against pipelining overlap this
+            # compute-bound kernel doesn't need.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self._interpret,
         )(eps2, *tabs, *wins, *occs, *tgtp)
         return out[0][0, 0], {"sph": out[1], "pln": out[2], "mat": out[3],
