@@ -153,15 +153,17 @@ class FusedWhitted:
         assert self._store in ("f32", "bf16", "u8"), self._store
         # train (plan-VJP) kernel window: jax.value_and_grad of the tree
         # roughly triples the live [TR,TC] state, so the forward's window
-        # VMEM-OOMs (measured r5q5: (32,256) scoped 17.5M > 16M) — the
-        # backward gets its own window. Non-glass sweep (r5q7, config2
-        # 1080p): (8,512) 0.01674 < (8,256) 0.02129 ≈ (16,256) 0.02150 —
-        # (8,512) ships. Glass trees remat their children (see radiance)
-        # and take the smallest window. RT_FUSED_VJP_TILE overrides.
+        # needs the raised vmem_limit (see _train_vg) and its own sweep.
+        # Non-glass (config2 1080p, r5q7/q11/q12 interleaved): (8,256)
+        # 0.0213 → (8,512) 0.0167 → (32,512) 0.0130/0.0110/0.0144 vs
+        # (8,512) anchors 0.0149–0.0192 — (32,512) ships ((32,256)'s lone
+        # 0.0102 sample left as a probe; q13). Glass d4 (q11/q12): (8,128)
+        # 0.0400 → **(8,512) 0.0368 ships**; (8,1024)/(16,512) exceed even
+        # the 100M scoped limit. RT_FUSED_VJP_TILE overrides.
         vt = _os.environ.get("RT_FUSED_VJP_TILE")
         self._vjp_tile = (tuple(int(x) for x in vt.split(","))
-                          if vt else ((8, 128) if self._has_glass
-                                      else (8, 512)))
+                          if vt else ((8, 512) if self._has_glass
+                                      else (32, 512)))
         # param-mode SMEM tables — EVERY C13-validated class the fused path
         # can carry (triangle vertices stay wavefront-only, documented):
         #   sph [S,4]  cx cy cz r

