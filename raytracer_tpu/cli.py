@@ -67,6 +67,10 @@ def cmd_render(args):
     scene, cam, opts = load_scene_cli(args.config if not args.scene else "",
                                       args.scene, args.width, args.height,
                                       args.max_depth)
+    if args.tile_block:
+        bh, bw = (int(x) for x in args.tile_block.lower().split("x"))
+        opts = dataclasses.replace(opts, tile_rays=bh * bw,
+                                   tile_block=(bh, bw))
     if args.scene:
         args.config = args.scene
     kind = "grid" if args.grid else args.tracer
@@ -405,6 +409,11 @@ def main(argv=None):
     pr.add_argument("--ssaa", type=int, default=1,
                     help="supersampling factor: trace an N× frame and "
                          "box-average N² subsamples per pixel")
+    pr.add_argument("--tile-block", default="",
+                    help="scan tiles as BHxBW screen blocks (sets tile_rays"
+                         "=BH*BW); bitwise-identical images, big walk win "
+                         "on mesh scenes (BENCH_LOG r5-a; config4 preset "
+                         "default 32x160)")
     pr.add_argument("--resilient", action="store_true",
                     help="elastic mode: render bands in re-dispatchable "
                          "subprocesses with backoff + split-retry (survives "

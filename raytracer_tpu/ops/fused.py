@@ -164,6 +164,13 @@ class FusedWhitted:
         self._vjp_tile = (tuple(int(x) for x in vt.split(","))
                           if vt else ((8, 512) if self._has_glass
                                       else (32, 512)))
+        # RT_FUSED_VMEM_MB: scoped-VMEM limit for the FORWARD kernel
+        # (unset = Mosaic's 16M default — the scope every r4 window-shape
+        # closure was measured under; the train kernel always gets 100M).
+        # The r5 train-kernel sweeps showed bigger windows win once the
+        # scope allows them — this knob re-opens the forward shape question.
+        vm = _os.environ.get("RT_FUSED_VMEM_MB")
+        self._fwd_vmem = int(vm) * 1024 * 1024 if vm else None
         # param-mode SMEM tables — EVERY C13-validated class the fused path
         # can carry (triangle vertices stay wavefront-only, documented):
         #   sph [S,4]  cx cy cz r
@@ -802,6 +809,9 @@ class FusedWhitted:
             in_specs=in_specs,
             out_specs=(spec,) * n_rgb + (spec,) * n_plan,
             out_shape=(shape,) * n_rgb + (ishape,) * n_plan,
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=self._fwd_vmem)
+                if self._fwd_vmem else None),
             interpret=self._interpret,
         )(*ins)
         if self._store == "u8":
