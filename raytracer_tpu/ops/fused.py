@@ -376,6 +376,11 @@ class FusedWhitted:
                 # the closed-form Whitted tree right here in the kernel
                 # body, so the whole backward is one VMEM-resident program
                 # (SURVEY §3.3's fused-backward component, VERDICT r4 #3).
+                # row0 arrives TRACED (SMEM, like eps): all bands — and all
+                # shard_map ranks of the sharded trainer — share ONE
+                # compiled kernel.
+                row0_ref = refs[0]
+                refs = refs[1:]
                 win_refs = refs[:n_nodes]
                 occ_refs = refs[n_nodes:2 * n_nodes]
                 tr_ref, tg_ref, tb_ref = refs[2 * n_nodes:2 * n_nodes + 3]
@@ -429,6 +434,8 @@ class FusedWhitted:
             row = (pi * TR + jax.lax.broadcasted_iota(jnp.int32,
                                                        (TR, TC), 0)
                    + row0).astype(jnp.float32)
+            if train:
+                row = row + row0_ref[0, 0]  # traced band offset (f32)
             col = (pj * TC + jax.lax.broadcasted_iota(jnp.int32,
                                                        (TR, TC), 1)
                    ).astype(jnp.float32)
@@ -721,8 +728,9 @@ class FusedWhitted:
                 occ_in = [o_[:] for o_ in occ_refs]
                 tgt = (tr_ref[:], tg_ref[:], tb_ref[:])
                 # mask off grid padding (rows beyond the band, cols beyond
-                # the image): their plan is -1/0 fill but their target is 0
-                valid_px = (row < row0 + band_rows) & (col < w_px)
+                # the image): their plan is -1/0 fill but their target is 0.
+                # row includes the TRACED band offset, so mask against it.
+                valid_px = (row < row0_ref[0, 0] + band_rows) & (col < w_px)
                 ns_r, np_r = self._psph.shape[0], self._ppln.shape[0]
                 nm_r, nl_r = self._pmat.shape[0], self._plgt.shape[0]
                 pt0 = {
@@ -828,12 +836,14 @@ class FusedWhitted:
         plan = tuple(pl_[:rows, :w] for pl_ in out[n_rgb:])
         return img, plan[:n_nodes], plan[n_nodes:]
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-    def _train_vg(self, row0: int, rows: int, eps, sph, pln, mat, lgt,
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _train_vg(self, row0, rows: int, eps, sph, pln, mat, lgt,
                   wins, occs, tgt):
         """Run the plan-replay training kernel for one band →
         (loss_sum, grads dict of the 4 param tables). Unnormalized: the
-        caller divides by its loss denominator."""
+        caller divides by its loss denominator. `row0` is TRACED (an SMEM
+        scalar): every band — and every shard_map rank of
+        plan_value_and_grad_sharded — shares one compiled kernel."""
         opts = self._opts
         TR, TC = self._vjp_tile
         h, w = opts.height, opts.width
@@ -857,13 +867,14 @@ class FusedWhitted:
         tgtp = [pad2(jnp.asarray(tgt[..., k], jnp.float32), 0.0)
                 for k in range(3)]
         eps2 = jnp.reshape(jnp.asarray(eps, jnp.float32), (1, 1))
+        r02 = jnp.reshape(jnp.asarray(row0, jnp.float32), (1, 1))
         out_shapes = (jax.ShapeDtypeStruct((1, 1), jnp.float32),) + tuple(
             jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs)
         out = pl.pallas_call(
-            self._kernel(row0, h, w, train=True, band_rows=rows,
+            self._kernel(0, h, w, train=True, band_rows=rows,
                          tile=(TR, TC)),
             grid=grid,
-            in_specs=([smem(eps2)] + [smem(t) for t in tabs]
+            in_specs=([smem(eps2)] + [smem(t) for t in tabs] + [smem(r02)]
                       + [spec] * (len(wins) + len(occs) + 3)),
             out_specs=(full((1, 1)),) + tuple(full(t.shape) for t in tabs),
             out_shape=out_shapes,
@@ -877,7 +888,7 @@ class FusedWhitted:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self._interpret,
-        )(eps2, *tabs, *wins, *occs, *tgtp)
+        )(eps2, *tabs, r02, *wins, *occs, *tgtp)
         return out[0][0, 0], {"sph": out[1], "pln": out[2], "mat": out[3],
                               "lgt": out[4]}
 
@@ -903,6 +914,44 @@ class FusedWhitted:
                                  self._pmat, self._plgt, wins, occs,
                                  tgt_band)
         return loss, g, img
+
+    def plan_value_and_grad_sharded(self, target, mesh, eps=0.0):
+        """Data-parallel fused-VJP training micro-step on a
+        Mesh('tiles', …) → (loss_sum, grads) — the multi-chip twin of
+        plan_value_and_grad (SURVEY §2.3 gradient-DP row for the r5
+        trainer).
+
+        The plan is emitted full-frame (the cheap serving forward, here
+        replicated; on a pod each host renders its slice of the same
+        program), then its planes + the target band-shard over 'tiles'
+        with the pixel rows; each rank runs ONE train kernel on its band
+        (the traced row0 keeps it a single compiled program across ranks)
+        and loss/table-gradients all-reduce with `psum` — the shard_map
+        expression of per-band linearity, identical to the single-device
+        step up to band-sum fp association (tests/test_fused_vjp.py)."""
+        from jax.sharding import PartitionSpec as P
+
+        h, w = self._opts.height, self._opts.width
+        ntiles = mesh.shape["tiles"]
+        assert h % ntiles == 0, f"height {h} not divisible by tiles {ntiles}"
+        rows_per = h // ntiles
+        _, wins, occs = self.render_plan(eps=eps)
+        tgt = jax.lax.stop_gradient(jnp.asarray(target, jnp.float32))
+        row0s = jnp.arange(ntiles, dtype=jnp.float32) * rows_per
+        tabs = (self._psph, self._ppln, self._pmat, self._plgt)
+
+        def shard_fn(wins_s, occs_s, tgt_s, r0):
+            loss, g = self._train_vg(r0[0], rows_per, eps, *tabs,
+                                     list(wins_s), list(occs_s), tgt_s)
+            loss = jax.lax.psum(loss, "tiles")
+            g = jax.tree.map(lambda x: jax.lax.psum(x, "tiles"), g)
+            return loss, g
+
+        return jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("tiles"), P("tiles"), P("tiles"), P("tiles")),
+            out_specs=(P(), P()), check_vma=False))(
+                tuple(wins), tuple(occs), tgt, row0s)
 
     def bind(self, center=None, albedo=None, radius=None, kd=None, ks=None,
              spec_n=None, ior=None, plane_point=None, plane_normal=None,

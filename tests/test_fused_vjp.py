@@ -182,3 +182,26 @@ def test_kernel_vg_covers_all_table_classes():
     assert np.abs(np.asarray(g["pln"])).max() > 0      # plane geom/albedo2
     assert np.abs(np.asarray(g["lgt"])).max() > 0      # light pos/intensity
     assert np.abs(np.asarray(g["mat"])[:, 3:5]).max() > 0  # kd/ks
+
+
+def test_kernel_vg_sharded_matches_single_device():
+    """plan_value_and_grad_sharded on a 4-device 'tiles' mesh == the
+    single-device step up to band-sum fp association (the gradient-DP
+    twin of the r5 trainer; runs on the conftest's 8 simulated devices)."""
+    import jax
+
+    from raytracer_tpu.parallel.mesh import make_rt_mesh
+
+    scene, cam, opts = presets.PRESETS["config2"]()
+    opts = dataclasses.replace(opts, width=96, height=64)
+    tgt = np.asarray(render(scene, cam, opts)[0]) * 0.9
+    fw = FusedWhitted(scene, cam, opts, param_inputs=True)
+    l1, g1, _ = fw.plan_value_and_grad(tgt)
+    mesh = make_rt_mesh(tiles=4, prims=1, devices=jax.devices()[:4])
+    ls, gs = fw.plan_value_and_grad_sharded(tgt, mesh)
+    np.testing.assert_allclose(float(ls), float(l1), rtol=1e-5)
+    for k in ("sph", "pln", "mat", "lgt"):
+        a, b = np.asarray(gs[k]), np.asarray(g1[k])
+        scale = np.abs(b).max() + 1e-9
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=k)
