@@ -515,6 +515,66 @@ def _phase_bwd_kernel(config, repeats=2, **kw):
             "mode": "fused-vjp"}
 
 
+def _phase_bwd_waveplan(config, repeats=2, **kw):
+    """fwd+bwd step via WAVEFRONT-planner replay (RT_BENCH_PLAN=wave, mesh
+    scenes): each band's wavefront render runs its walks ONCE and emits the
+    plan (renderer.render record_plan=True — the mesh-scene analog of the
+    fused planner), then value_and_grad differentiates only the walk-free
+    shading replay (ops/replay.PlanTracer). Grads match the standard
+    plan-remat vg up to association (the same integer residuals drive both
+    backwards)."""
+    from raytracer_tpu.ops.replay import _replay_band_vg
+
+    scene, cam, opts, tracer = _setup(config, **kw)
+    assert scene.meshes.count, "wave-planner replay targets mesh scenes"
+    n_pix = opts.width * opts.height
+    bands = _bands(opts)
+    print(f"# bwd-waveplan target render ({len(bands)} bands)…",
+          file=sys.stderr, flush=True)
+    tgt_fn = jax.jit(lambda s, c, tr, r0, rows: render(
+        s, c, opts, tracer=tr, row0=r0, rows=rows)[0],
+        static_argnames=("rows",))
+    target = jnp.concatenate(
+        [tgt_fn(scene, cam, tracer, r0=r0, rows=rows) for r0, rows in bands],
+        axis=0) * 0.9
+    p0 = _grad_params(scene)
+
+    plan_fns = {}
+    for _, rows in bands:
+        if rows not in plan_fns:
+            @jax.jit
+            def plan_fn(eps, s, c, tr, r0, rows=rows):
+                c2 = dataclasses.replace(c, pos=c.pos + eps)
+                out = render(s, c2, opts, tracer=tr, row0=r0, rows=rows,
+                             record_plan=True)
+                return out[2], out[3]
+
+            plan_fns[rows] = plan_fn
+
+    def step(eps):
+        p = jax.tree.map(lambda x: x + eps, p0)
+        val = jnp.zeros(())
+        g = None
+        for r0, rows in bands:
+            wins, occs = plan_fns[rows](eps, scene, cam, tracer, r0)
+            plan = jax.lax.stop_gradient((list(wins), list(occs)))
+            v, gb = _replay_band_vg(p, scene, cam, target, plan, r0,
+                                    apply_params=_with_params, opts=opts,
+                                    rb=rows)
+            val = val + v
+            g = gb if g is None else jax.tree.map(jnp.add, g, gb)
+        return val, g
+
+    print("# bwd-waveplan compile+warm…", file=sys.stderr, flush=True)
+    jax.block_until_ready(step(jnp.zeros(())))
+    print("# bwd-waveplan warm; timing…", file=sys.stderr, flush=True)
+    (val, g), t_bwd = _timer()(step, repeats=repeats)
+    float(val)  # validation readback
+    del n_pix
+    return {"fwd_bwd_s": t_bwd, "bwd_bands": len(bands),
+            "mode": "wave-planner-replay"}
+
+
 def phase_bwd(config, repeats=2, **kw):
     # training-step backend ladder for fused-supported scenes:
     #   kernel (r5 DEFAULT for ALL fused-supported scenes, glass included)
@@ -524,6 +584,8 @@ def phase_bwd(config, repeats=2, **kw):
     #   replay — XLA shading-replay vg (the r3/r4 default; RT_BENCH_PLAN=1);
     #   standard wavefront vg — non-fused scenes; RT_BENCH_PLAN=0 forces it.
     plan = os.environ.get("RT_BENCH_PLAN", "auto")
+    if plan == "wave":
+        return _phase_bwd_waveplan(config, repeats=repeats, **kw)
     if plan != "0":
         from raytracer_tpu.ops.fused import supported
 

@@ -17,7 +17,7 @@ from raytracer_tpu.ops.safemath import dot, safe_pow, safe_sqrt
 
 def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
                   tri_chunk: int, count_rays: bool = False, tracer=None,
-                  active=None):
+                  active=None, occ_out: list | None = None):
     """Phong local radiance [N,3] for rays hitting diffuse/glossy surfaces.
 
     Computed for *all* rays (branchless); the caller masks by material type.
@@ -26,8 +26,14 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
     walk-based occlusion backends park the other lanes instead of DDA-walking
     shadow rays whose contribution is masked out anyway (active lanes'
     results are bitwise-unchanged).
+    `occ_out` (a list) collects this bounce's per-light occlusion BITMASK
+    [N] i32 (bit l = light l occluded) — the render-"plan" encoding the
+    replay trainers consume (ops/replay.PlanTracer; ≤32 lights).
     Returns (rgb, shadow_ray_count) — the count is for rays/s accounting only.
     """
+    if occ_out is not None:
+        assert scene.lights.count <= 32, "occ bitmask packs into int32"
+        occ_acc = jnp.zeros(surf.p.shape[:1], jnp.int32)
     p, n = surf.p, surf.n
     # Shadow origin: + bias·N when the viewing ray hits the front face (SPEC).
     sorig = p + jnp.where(dot(in_dir, n) < 0, 1.0, -1.0)[:, None] * bias * n
@@ -60,6 +66,8 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
         # residual so the backward never re-walks shadow rays
         from jax.ad_checkpoint import checkpoint_name
         shadowed = checkpoint_name(shadowed, "trace_plan")
+        if occ_out is not None:
+            occ_acc = occ_acc | (shadowed.astype(jnp.int32) << li)
         vis = jnp.where(shadowed, 0.0, 1.0)
         light_amt = light_amt + (vis * ldn)[:, None] * lint[None, :]
         r = reflect(-ldir, n)
@@ -67,4 +75,6 @@ def shade_diffuse(scene: Scene, surf, in_dir, bias: float, t_min: float,
         if count_rays:
             n_shadow = n_shadow + p.shape[0]
     rgb = light_amt * surf.albedo * surf.kd[:, None] + spec * surf.ks[:, None]
+    if occ_out is not None:
+        occ_out.append(occ_acc)
     return rgb, n_shadow

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_tpu.core.types import (
-    DIFFUSE_AND_GLOSSY, REFLECTION, REFLECTION_AND_REFRACTION, Camera,
-    RenderOptions, Scene)
+    DIFFUSE_AND_GLOSSY, KIND_PLANE, KIND_SPHERE, KIND_TRIANGLE, REFLECTION,
+    REFLECTION_AND_REFRACTION, Camera, RenderOptions, Scene)
 from raytracer_tpu.core.types import as_jax as _types_as_jax
 from raytracer_tpu.ops import geometry as geom
 from raytracer_tpu.ops.shade import shade_diffuse
@@ -118,7 +118,7 @@ def _compact(state, pix, cap_lanes: int):
 
 def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
                 is_last: bool, count_rays: bool = False, tracer=None,
-                pix=None):
+                pix=None, plan_out: list | None = None):
     """One wavefront bounce: trace + shade + spawn children.
 
     `state` = (o, d, thr, alive) ray buffers (glass scenes double the buffer
@@ -157,6 +157,23 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
         # the backward saves these few small arrays and recomputes only the
         # cheap differentiable shading — the walks never rerun in the bwd
         hit = _name_plan(hit)
+    occ_out = None
+    if plan_out is not None:
+        # record this bounce's plan node: the fused-prim winner index
+        # (sphere < plane < triangle flattening, −1 = miss — the encoding
+        # ops/replay.PlanTracer decodes) + the per-light occlusion bitmask
+        # shade_diffuse fills below. This is the wavefront acting as its
+        # own training PLANNER for scenes the fused megakernel can't bake
+        # (20k-tri meshes): the replay vg then differentiates shading with
+        # the walks gone entirely (docs/ARCH.md "Wavefront-planner replay").
+        ns, npl = scene.spheres.count, scene.planes.count
+        win = jnp.where(
+            hit.kind == KIND_SPHERE, hit.idx,
+            jnp.where(hit.kind == KIND_PLANE, hit.idx + ns,
+                      jnp.where(hit.kind == KIND_TRIANGLE,
+                                hit.idx + ns + npl, -1)))
+        win = jnp.where(alive, win, -1).astype(jnp.int32)
+        occ_out = []
     with jax.named_scope("surface_at"):
         surf = surface_at(scene, o, d, hit, opts.t_min)
     valid = surf.valid & alive
@@ -173,7 +190,11 @@ def bounce_step(scene: Scene, state, opts: RenderOptions, n0: int,
     with jax.named_scope("shade_diffuse"):
         local, _ = shade_diffuse(scene, surf, d, opts.bias, opts.t_min,
                                  opts.tri_chunk, tracer=tracer,
-                                 active=None if msk is None else is_diff)
+                                 active=None if msk is None else is_diff,
+                                 occ_out=occ_out)
+    if plan_out is not None:
+        plan_out.append((win, occ_out[0] if occ_out else
+                         jnp.zeros_like(win)))
     terms.append(_fold(jnp.where(is_diff[:, None], thr * local, 0.0), n0,
                        pix))
     if count_rays:
@@ -261,8 +282,16 @@ class _WideD0Tracer:
 
 
 def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
-                count_rays: bool = False, tracer=None):
+                count_rays: bool = False, tracer=None,
+                record_plan: bool = False):
     """Trace a wavefront of primary rays to radiance [N,3] (unclamped).
+
+    `record_plan=True` (non-compacted scenes) additionally returns the
+    render plan — per bounce, the fused-prim winner index [N] i32 (−1 miss)
+    and the per-light occlusion bitmask [N] i32 — as two tuples appended to
+    the return: (radiance, traced, wins, occs). This is the wavefront
+    acting as its own training planner (the mesh-scene analog of
+    FusedWhitted.render_plan); ops/replay consumes it.
 
     `tracer` overrides the winner-search backend (parallel/tracer.py: sharded,
     ring-streaming, or Pallas); the differentiable surface/shade stages always
@@ -288,6 +317,9 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     # wavefronts too). Measured config3 d4: 31× n0 lane work at 5.5%
     # occupancy without it (benchmarks/occupancy.py).
     compact = use_compact(scene, opts)
+    assert not (record_plan and compact), \
+        "plan recording covers non-compacted wavefronts (mesh scenes)"
+    plan = [] if record_plan else None
     # pix (per-lane pixel ids) stays None until the FIRST actual compaction:
     # before any permutation, slot i's pixel is i mod n0 (glass doubling
     # concatenates children), so terms fold by reshape — a full-width
@@ -307,14 +339,15 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
     # Stateful-cursor tracers (PlanTracer replay) must opt out regardless:
     # the eval_shape + cond double-trace would advance their cursors twice.
     skip_dead = (os.environ.get("RT_SKIP_DEAD_TILES", "0") not in ("", "0")
-                 and not getattr(tracer, "stateful_cursor", False))
+                 and not getattr(tracer, "stateful_cursor", False)
+                 and plan is None)  # cond double-trace would double-record
 
     for depth in range(opts.max_depth + 1):
         with jax.named_scope(f"bounce{depth}"):
             step_fn = partial(
                 bounce_step, opts=opts, n0=n0,
                 is_last=depth == opts.max_depth, count_rays=count_rays,
-                tracer=tracer)
+                tracer=tracer, plan_out=plan)
 
             if depth == 0 or not skip_dead:
                 terms, state, inc = step_fn(scene, state, pix=pix)
@@ -353,13 +386,22 @@ def render_rays(scene: Scene, orig, direc, opts: RenderOptions,
 
     if compact:
         return radiance, traced, dropped
+    if record_plan:
+        return (radiance, traced, tuple(w for w, _ in plan),
+                tuple(o for _, o in plan))
     return radiance, traced
 
 
 def render(scene: Scene, camera: Camera, opts: RenderOptions,
            count_rays: bool = False, tracer=None, row0: int = 0,
-           rows: int | None = None):
+           rows: int | None = None, record_plan: bool = False):
     """Render → (image [rows,W,3] in [0,1], rays_traced scalar).
+
+    `record_plan=True` (non-compacted scenes) appends the band's render
+    plan to the return — per bounce, the fused-prim winner index and the
+    per-light occlusion bitmask, each [rows·W] in PIXEL order (block tile
+    order is unpermuted like the radiance): (img, traced, wins, occs).
+    See render_rays; the wavefront-planner replay trainer consumes it.
 
     Tiles the pixel stream into `opts.tile_rays`-ray wavefronts processed
     sequentially under `lax.scan` (bounded device memory at any resolution).
@@ -414,12 +456,15 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
         dirs = dirs.reshape(-1, tile, 3)
     orig = jnp.broadcast_to(jnp.asarray(camera.pos), (tile, 3))
 
+    plan_wins = plan_occs = None
     if dirs.shape[0] == 1:
         # single tile: skip the scan wrapper (simpler graph, faster compile)
         out = render_rays(scene, orig, dirs[0], opts, count_rays,
-                          tracer=tracer)
+                          tracer=tracer, record_plan=record_plan)
         rad, traced = out[0], out[1]
         dropped = out[2] if compact else None
+        if record_plan:
+            plan_wins, plan_occs = out[2], out[3]
     else:
         zero = jnp.zeros((), jnp.float32)
         # wide-d0: hoist the depth-0 nearest walk out of the tile scan and
@@ -440,6 +485,8 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
             hit0_tiles = jax.tree.map(
                 lambda x: x.reshape(dirs.shape[0], -1), hit0)
 
+        assert not (record_plan and wide_d0)
+
         def tile_fn(carry, xs):
             if hit0_tiles is None:
                 tile_dirs, tr2 = xs, tracer
@@ -447,9 +494,11 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
                 tile_dirs, h0 = xs
                 tr2 = _WideD0Tracer(tracer, h0)
             out = render_rays(scene, orig, tile_dirs, opts, count_rays,
-                              tracer=tr2)
+                              tracer=tr2, record_plan=record_plan)
             if compact:
                 return (carry[0] + out[1], carry[1] + out[2]), out[0]
+            if record_plan:
+                return carry + out[1], (out[0], out[2], out[3])
             return carry + out[1], out[0]
 
         if opts.remat_tiles:
@@ -467,14 +516,28 @@ def render(scene: Scene, camera: Camera, opts: RenderOptions,
                 tile_fn = jax.checkpoint(tile_fn)
         carry0 = (zero, zero) if compact else zero
         xs = dirs if hit0_tiles is None else (dirs, hit0_tiles)
-        carry, rad = jax.lax.scan(tile_fn, carry0, xs)
+        carry, ys = jax.lax.scan(tile_fn, carry0, xs)
         traced, dropped = carry if compact else (carry, None)
+        if record_plan:
+            rad, plan_wins, plan_occs = ys
+        else:
+            rad = ys
         if strided:
             rad = rad.transpose(1, 0, 2)  # [tile, ntiles, 3] → pixel order
     rad = rad.reshape(-1, 3)
     if inv_order is not None:
         rad = rad[inv_order]  # block order → pixel order (static gather)
     img = clamp01(rad[:n_pix]).reshape(rows, w, 3)
+    if record_plan:
+        def _pixel_order(x):  # [ntiles, tile] (or [tile]) → [n_pix]
+            x = x.reshape(-1)
+            if inv_order is not None:
+                x = x[inv_order]
+            return x[:n_pix]
+
+        plan_wins = tuple(_pixel_order(x) for x in plan_wins)
+        plan_occs = tuple(_pixel_order(x) for x in plan_occs)
+        return img, traced, plan_wins, plan_occs
     if compact:
         return img, traced, dropped
     return img, traced

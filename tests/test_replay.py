@@ -353,3 +353,58 @@ for k, tol in (('center', 1e-3), ('albedo', 0.05)):
     scale = float(jnp.abs(g1[k]).max()) + 1e-9
     assert float(jnp.abs(g1[k] - g3[k]).max()) <= tol * scale
 """, timeout=2400)
+
+
+def test_waveplan_replay_vg_matches_standard_mesh():
+    """Wavefront-planner replay (renderer.render record_plan=True →
+    PlanTracer replay vg) == the standard plan-remat vg on a mesh scene:
+    both backwards differentiate the same shading recompute from the same
+    integer residuals — the walks just run outside the autodiff graph in
+    the replay form (the r5 config4 training candidate)."""
+    import dataclasses
+
+    import numpy as np
+
+    from raytracer_tpu.accel.grid import GridTracer
+    from raytracer_tpu.core.types import Meshes
+    from raytracer_tpu.io import meshgen
+    from raytracer_tpu.ops.replay import _replay_band_vg
+
+    scene, cam, opts = presets.config4_mesh(use_obj=False)
+    verts, tris = meshgen.bumpy_sphere(subdiv=3, radius=1.3)
+    verts = verts + np.array([0.0, -0.1, -5.5], np.float32)
+    scene = scene.replace(meshes=Meshes.build(
+        verts, tris, np.zeros((tris.shape[0],), np.int32),
+        normals=meshgen.vertex_normals(verts, tris)))
+    opts = dataclasses.replace(opts, width=64, height=48, max_depth=2,
+                               tile_rays=1024, tile_block=(16, 64))
+    tracer = GridTracer.build(scene)
+    target = render(scene, cam, opts, tracer=tracer)[0] * 0.9
+    p0 = {"center": jnp.asarray(scene.spheres.center),
+          "albedo": jnp.asarray(scene.materials.albedo)}
+
+    def with_p(s, p):
+        return s.replace(
+            spheres=dataclasses.replace(s.spheres, center=p["center"]),
+            materials=dataclasses.replace(s.materials, albedo=p["albedo"]))
+
+    n3 = opts.width * opts.height * 3
+
+    def loss_std(p):
+        img = render(with_p(scene, p), cam, opts, tracer=tracer)[0]
+        return jnp.sum((img - target) ** 2) / n3
+
+    v_std, g_std = jax.value_and_grad(loss_std)(p0)
+
+    _, _, wins, occs = render(scene, cam, opts, tracer=tracer,
+                              record_plan=True)
+    v_w, g_w = _replay_band_vg(p0, scene, cam, target,
+                               (list(wins), list(occs)), 0,
+                               apply_params=with_p, opts=opts,
+                               rb=opts.height)
+    np.testing.assert_allclose(float(v_w), float(v_std), rtol=1e-5)
+    for k in p0:
+        a, b = np.asarray(g_w[k]), np.asarray(g_std[k])
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=k)
