@@ -584,12 +584,17 @@ def phase_bwd(config, repeats=2, **kw):
     #   replay — XLA shading-replay vg (the r3/r4 default; RT_BENCH_PLAN=1);
     #   standard wavefront vg — non-fused scenes; RT_BENCH_PLAN=0 forces it.
     plan = os.environ.get("RT_BENCH_PLAN", "auto")
-    if plan == "wave":
-        return _phase_bwd_waveplan(config, repeats=repeats, **kw)
     if plan != "0":
         from raytracer_tpu.ops.fused import supported
 
         scene0 = presets.PRESETS[config]()[0]
+        if plan == "wave" or (plan == "auto" and scene0.meshes.count
+                              and not supported(scene0)):
+            # mesh scenes: wavefront-planner replay — walks run once,
+            # undifferentiated; vg sees only the walk-free shading replay.
+            # Beat the plan-remat vg in both interleaved brackets (r5q15:
+            # 1.1775/1.1779 vs 1.1946/1.1954 — +1.5%, 0.07% spread).
+            return _phase_bwd_waveplan(config, repeats=repeats, **kw)
         if plan == "kernel" or (plan == "auto" and supported(scene0)):
             return _phase_bwd_kernel(config, repeats=repeats, **kw)
         if plan == "1" or (not scene0.has_glass and supported(scene0)):
